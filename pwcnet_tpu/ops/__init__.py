@@ -1,0 +1,19 @@
+"""Pure-functional compute ops for pwcnet_tpu."""
+
+from pwcnet_tpu.ops.cost_volume import cost_volume
+from pwcnet_tpu.ops.resize import (
+    resize_bilinear,
+    resize_nearest,
+    upsample2x_bilinear,
+)
+from pwcnet_tpu.ops.warp import bilinear_warp, nearest_warp, warp
+
+__all__ = [
+    "cost_volume",
+    "resize_bilinear",
+    "resize_nearest",
+    "upsample2x_bilinear",
+    "bilinear_warp",
+    "nearest_warp",
+    "warp",
+]

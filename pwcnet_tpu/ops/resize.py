@@ -1,0 +1,92 @@
+"""TF1-compatible image resizing (align_corners=False, no half-pixel centers).
+
+The reference model's numerics depend on TF 1.8's default resize semantics
+(`tf.image.resize_bilinear` / `resize_nearest_neighbor` with
+``align_corners=False``; half-pixel centers did not exist yet):
+
+- source coordinate for output index ``i`` is ``i * (in_size / out_size)``
+  (float32 arithmetic, no +0.5 offset);
+- bilinear: top index = floor(src), bottom index = min(ceil(src), in-1),
+  lerp weight = src - floor(src);
+- nearest: index = min(floor(src), in-1).
+
+These appear in the reference at: inter-level flow/feature 2x upsampling
+(/root/reference/modules.py:283-284), the final 4x flow upsampling
+(/root/reference/model.py:127), and the loss-side nearest-neighbor ground
+truth downsampling (/root/reference/losses.py:27).
+
+Output sizes are static, so all index/weight tables are computed host-side
+with NumPy and baked into the jitted graph as constants — the resize lowers
+to two static `take`s plus fused multiply-adds (no dynamic gather on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["resize_bilinear", "resize_nearest", "upsample2x_bilinear"]
+
+
+@functools.lru_cache(maxsize=None)
+def _bilinear_table(in_size: int, out_size: int):
+    """(low_idx, high_idx, lerp) tables for one axis, TF1 semantics."""
+    scale = np.float32(in_size) / np.float32(out_size)
+    src = np.arange(out_size, dtype=np.float32) * scale
+    low = np.floor(src)
+    high = np.minimum(np.ceil(src), in_size - 1)
+    lerp = src - low
+    return low.astype(np.int32), high.astype(np.int32), lerp.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_table(in_size: int, out_size: int):
+    scale = np.float32(in_size) / np.float32(out_size)
+    src = np.arange(out_size, dtype=np.float32) * scale
+    return np.minimum(np.floor(src), in_size - 1).astype(np.int32)
+
+
+def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or HWC) ``x`` to spatial ``size=(H, W)``.
+
+    Matches TF1 ``tf.image.resize_bilinear(..., align_corners=False)``.
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    if (out_h, out_w) == (in_h, in_w):
+        return x
+
+    y_lo, y_hi, y_lerp = _bilinear_table(in_h, out_h)
+    x_lo, x_hi, x_lerp = _bilinear_table(in_w, out_w)
+
+    # Gather rows (axis -3) then columns (axis -2); indices are constants.
+    top = jnp.take(x, y_lo, axis=-3)
+    bot = jnp.take(x, y_hi, axis=-3)
+    tl = jnp.take(top, x_lo, axis=-2)
+    tr = jnp.take(top, x_hi, axis=-2)
+    bl = jnp.take(bot, x_lo, axis=-2)
+    br = jnp.take(bot, x_hi, axis=-2)
+
+    wy = jnp.asarray(y_lerp, dtype=x.dtype)[:, None, None]
+    wx = jnp.asarray(x_lerp, dtype=x.dtype)[:, None]
+    t = tl + (tr - tl) * wx
+    b = bl + (br - bl) * wx
+    return t + (b - t) * wy
+
+
+def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor resize of NHWC (or HWC) ``x``; TF1 semantics."""
+    out_h, out_w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    if (out_h, out_w) == (in_h, in_w):
+        return x
+    y_idx = _nearest_table(in_h, out_h)
+    x_idx = _nearest_table(in_w, out_w)
+    return jnp.take(jnp.take(x, y_idx, axis=-3), x_idx, axis=-2)
+
+
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsampling (the inter-pyramid-level upsampler)."""
+    return resize_bilinear(x, (2 * x.shape[-3], 2 * x.shape[-2]))
