@@ -1,0 +1,125 @@
+"""Inference helpers shared by the test/test_continuous CLIs.
+
+Mirrors the reference drivers' behavior (test.py / test_continuous.py):
+images are cropped to a multiple of 64 (`factor_crop`, test.py:13-17),
+normalized to [0,1], run through PWCDCNet, and the per-level flows are
+rescaled to pixel units by ``20 / 2**(num_levels - l)`` for visualization.
+
+XLA needs static shapes, so instead of the reference's dynamic-shape
+placeholder (test_continuous.py:28) the jitted forward is cached per input
+shape: a sequence of same-sized frames compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwcnet_tpu.models import PWCDCNet
+from pwcnet_tpu.train_lib.checkpoint import load_params
+
+__all__ = ["factor_crop", "FlowPredictor", "load_image"]
+
+
+def factor_crop(image: np.ndarray, factor: int = 64) -> np.ndarray:
+    """Crop H and W down to multiples of ``factor`` (top-left anchored)."""
+    assert image.ndim == 3
+    h, w, _ = image.shape
+    return image[: factor * (h // factor), : factor * (w // factor)]
+
+
+def load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+class FlowPredictor:
+    """PWCDCNet inference with checkpoint loading and shape-cached jit."""
+
+    def __init__(
+        self,
+        checkpoint: Optional[str] = None,
+        num_levels: int = 6,
+        search_range: int = 4,
+        warp_type: str = "bilinear",
+        use_dc: bool = False,
+        output_level: int = 4,
+        dtype=jnp.float32,
+    ):
+        self.model = PWCDCNet(
+            num_levels=num_levels,
+            search_range=search_range,
+            warp_type=warp_type,
+            use_dc=use_dc,
+            output_level=output_level,
+            dtype=dtype,
+        )
+        self.num_levels = num_levels
+        self._params = None
+        self._checkpoint = checkpoint
+
+    # -- params -----------------------------------------------------------
+    def _init_params(self, h: int, w: int):
+        imgs = jnp.zeros((1, h, w, 3), self.model.dtype)
+        variables = self.model.init(jax.random.PRNGKey(0), imgs, imgs)
+        params = variables["params"]
+        if self._checkpoint is not None:
+            if str(self._checkpoint).endswith((".ckpt", ".ckpt.index")):
+                from pwcnet_tpu.train_lib.tf_converter import (
+                    load_tf_checkpoint_params,
+                )
+
+                params = load_tf_checkpoint_params(self._checkpoint, params)
+            else:
+                params = load_params(self._checkpoint, params)
+        else:
+            print("!!! Inference with randomly initialized model !!!")
+        return params
+
+    def params_for(self, h: int, w: int):
+        if self._params is None:
+            self._params = self._init_params(h, w)
+        return self._params
+
+    # -- forward ----------------------------------------------------------
+    @functools.lru_cache(maxsize=8)
+    def _jitted(self, h: int, w: int):
+        def fwd(params, images_0, images_1):
+            return self.model.apply({"params": params}, images_0, images_1)
+
+        return jax.jit(fwd)
+
+    def __call__(self, image_0: np.ndarray, image_1: np.ndarray):
+        """Run on a raw uint8 frame pair.
+
+        Returns (flow_final (H', W', 2) np.float32 pixels, pyramid list in
+        pixel units, cropped normalized frames (2, H', W', 3)).
+        """
+        img0 = factor_crop(image_0)
+        img1 = factor_crop(image_1)
+        h, w = img0.shape[:2]
+        images = np.stack([img0, img1]).astype(np.float32) / 255.0
+        params = self.params_for(h, w)
+        fwd = self._jitted(h, w)
+        flow_final, pyramid = fwd(
+            params, jnp.asarray(images[None, 0]), jnp.asarray(images[None, 1])
+        )
+        pyramid_px = [
+            np.asarray(f[0]) * (20.0 / 2 ** (self.num_levels - l))
+            for l, f in enumerate(pyramid)
+        ]
+        return np.asarray(flow_final[0]), pyramid_px, images
+
+    def raw_forward(self, images: jnp.ndarray):
+        """Jitted forward on a preprocessed (1, 2, H, W, 3) batch (for
+        latency benchmarking, like the reference's --time loop)."""
+        h, w = images.shape[2], images.shape[3]
+        params = self.params_for(h, w)
+        fwd = self._jitted(h, w)
+        return fwd(params, images[:, 0], images[:, 1])

@@ -1,0 +1,231 @@
+"""Top-level optical-flow networks: PWCDCNet (flagship) and PWCNet (legacy).
+
+`PWCDCNet` reproduces the reference's working model (model.py:74-138):
+
+- shared 6-level feature pyramid over both frames (deep -> shallow);
+- coarse-to-fine: at the deepest level no warping; at finer levels frame-1
+  features are bilinear-warped by the upsampled previous flow scaled by
+  ``20 / 2**(num_levels - l)`` pixels (model.py:93,109);
+- local cost-volume correlation (max displacement ``search_range``) with
+  LeakyReLU(0.1);
+- per-level estimators threading upsampled flow+features (residual flow);
+- at ``output_level`` (default 4, i.e. 1/4 resolution): dilated context
+  refinement, then TF1-bilinear upsampling by ``2**(num_levels -
+  output_level)`` and x20 to full-resolution pixel units.
+
+Flow-unit convention: network-internal flows are ground-truth/20 at
+full-resolution magnitude; the loss scales gt by 1/20 (losses.py:20) and
+visualization rescales level-l flow by ``20 / 2**(num_levels - l)``.
+
+`PWCNet` is the reference's "original" variant. As written upstream it is
+broken (model.py:19-28 reads attributes before assignment and calls the
+estimator with permuted arguments — SURVEY.md §2.4); here it is implemented
+*fixed*, documenting the intended architecture: 2-conv pyramid, zero flow
+init at the deepest level, ``resize(flow)*2`` between levels, warp ->
+cost-volume -> legacy estimator, context refinement per level ('all') or at
+the output level ('final'), and a final ``2**(num_levels-output_level)``
+flow upscale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pwcnet_tpu.models.context import ContextNetwork
+from pwcnet_tpu.models.estimator import FlowEstimator, FlowEstimatorLegacy
+from pwcnet_tpu.models.pyramid import (
+    FeaturePyramidExtractor,
+    FeaturePyramidExtractorLegacy,
+)
+from pwcnet_tpu.ops.cost_volume import cost_volume
+from pwcnet_tpu.ops.resize import resize_bilinear
+from pwcnet_tpu.ops.warp import warp
+
+
+def flow_scales(num_levels: int) -> list:
+    """Pixel-unit conversion factor per level (None at the deepest level).
+
+    ``scales[l] = 20 / 2**(num_levels - l)`` — the reference's
+    ``[None, 0.625, 1.25, 2.5, 5.0, 10., 20.]`` for num_levels=6.
+    """
+    return [None] + [20.0 / 2 ** (num_levels - l) for l in range(1, num_levels + 1)]
+
+
+class PWCDCNet(nn.Module):
+    """PWC-Net with dense-connectable estimators + context network."""
+
+    num_levels: int = 6
+    search_range: int = 4
+    warp_type: str = "bilinear"
+    use_dc: bool = False
+    output_level: int = 4
+    dtype: Any = jnp.float32
+    precision: Any = None
+    cost_volume_fn: Any = None  # override (e.g. Pallas fused kernel)
+
+    def setup(self):
+        assert self.output_level < self.num_levels, (
+            "Should set output_level < num_levels"
+        )
+        self.fp_extractor = FeaturePyramidExtractor(
+            num_levels=self.num_levels,
+            dtype=self.dtype,
+            precision=self.precision,
+            name="fp_extractor",
+        )
+        # Estimators for every level are declared (like the reference's
+        # constructor, model.py:89-90) but only levels <= output_level are
+        # ever called, so deeper ones contribute no parameters — matching
+        # the reference checkpoints, which have no optflow_5 variables.
+        self.of_estimators = [
+            FlowEstimator(
+                use_dc=self.use_dc,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"optflow_{l}",
+            )
+            for l in range(self.num_levels)
+        ]
+        self.context_net = ContextNetwork(
+            dtype=self.dtype, precision=self.precision, name="context"
+        )
+
+    @property
+    def scales(self) -> list:
+        return flow_scales(self.num_levels)
+
+    def __call__(
+        self,
+        images_0: jnp.ndarray,
+        images_1: jnp.ndarray,
+        with_features: bool = False,
+    ):
+        """Run the coarse-to-fine flow cascade.
+
+        Args:
+          images_0/images_1: (B, H, W, 3) frames in [0, 1]; H and W must be
+            multiples of ``2**num_levels``.
+          with_features: also return the frame-0 feature pyramid.
+
+        Returns:
+          ``(flows_final, flows_pyramid[, pyramid_0])`` — full-resolution
+          pixel-unit flow and the per-level internal-unit flow pyramid
+          (deep -> output level).
+        """
+        cv_fn = self.cost_volume_fn or cost_volume
+        pyramid_0 = self.fp_extractor(images_0)
+        pyramid_1 = self.fp_extractor(images_1)
+        scales = self.scales
+
+        flows_pyramid = []
+        flows_up = features_up = None
+        for l, (f0, f1) in enumerate(zip(pyramid_0, pyramid_1)):
+            if l == 0:
+                f1_warped = f1
+            else:
+                f1_warped = warp(f1, flows_up * scales[l], self.warp_type)
+
+            cv = cv_fn(f0, f1_warped, self.search_range)
+
+            if l < self.output_level:
+                flows, flows_up, features_up = self.of_estimators[l](
+                    cv, f0, flows_up, features_up
+                )
+                flows_pyramid.append(flows)
+            else:
+                flows, features = self.of_estimators[l](
+                    cv, f0, flows_up, features_up, is_output=True
+                )
+                flows = self.context_net(flows, features)
+                flows_pyramid.append(flows)
+                upscale = 2 ** (self.num_levels - self.output_level)
+                h, w = flows.shape[1], flows.shape[2]
+                flows_final = (
+                    resize_bilinear(flows, (h * upscale, w * upscale)) * 20.0
+                )
+                if with_features:
+                    return flows_final, flows_pyramid, pyramid_0
+                return flows_final, flows_pyramid
+
+
+class PWCNet(nn.Module):
+    """Original PWC-Net variant (fixed re-implementation of model.py:6-71)."""
+
+    num_levels: int = 6
+    search_range: int = 4
+    warp_type: str = "bilinear"
+    context: str = "final"  # 'all' | 'final'
+    batch_norm: bool = False
+    output_level: int = 4
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    def setup(self):
+        assert self.output_level < self.num_levels, (
+            "Should set output_level < num_levels"
+        )
+        assert self.context in ("all", "final"), (
+            "context argument should be all/final"
+        )
+        self.fp_extractor = FeaturePyramidExtractorLegacy(
+            num_levels=self.num_levels,
+            dtype=self.dtype,
+            precision=self.precision,
+            name="fp_extractor",
+        )
+        self.of_estimators = [
+            FlowEstimatorLegacy(
+                batch_norm=self.batch_norm,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"optflow_{l}",
+            )
+            for l in range(self.num_levels)
+        ]
+        if self.context == "all":
+            self.context_nets = [
+                ContextNetwork(
+                    dtype=self.dtype, precision=self.precision, name=f"context_{l}"
+                )
+                for l in range(self.num_levels)
+            ]
+        else:
+            self.context_net = ContextNetwork(
+                dtype=self.dtype, precision=self.precision, name="context"
+            )
+
+    def __call__(
+        self, images_0: jnp.ndarray, images_1: jnp.ndarray, train: bool = False
+    ):
+        pyramid_0 = self.fp_extractor(images_0)
+        pyramid_1 = self.fp_extractor(images_1)
+
+        flows = []
+        flow = None
+        for l, (f0, f1) in enumerate(zip(pyramid_0, pyramid_1)):
+            b, h, w, _ = f0.shape
+            if l == 0:
+                flow = jnp.zeros((b, h, w, 2), dtype=self.dtype)
+            else:
+                flow = resize_bilinear(flow, (h, w)) * 2.0
+
+            f1_warped = warp(f1, flow, self.warp_type)
+            cost = cost_volume(f0, f1_warped, self.search_range)
+            feature, flow = self.of_estimators[l](cost, f0, flow, train=train)
+
+            if self.context == "all":
+                flow = self.context_nets[l](flow, feature)
+            elif l == self.output_level:
+                flow = self.context_net(flow, feature)
+
+            flows.append(flow)
+
+            if l == self.output_level:
+                upscale = 2 ** (self.num_levels - self.output_level)
+                final_flow = (
+                    resize_bilinear(flow, (h * upscale, w * upscale)) * upscale
+                )
+                return final_flow, flows, pyramid_0

@@ -1,0 +1,88 @@
+"""Checkpoint save/restore for params + optimizer state + step.
+
+The reference checkpoints with ``tf.train.Saver(model.vars)`` every epoch
+(train.py:95,164-166) but loses the Adam beta-power accumulators and global
+step on resume. Here the *entire* TrainState pytree (params, full Adam
+state, step) round-trips via flax msgpack serialization, so resume
+continues the LR schedule exactly.
+
+File format: a single msgpack file. `save_params`/`load_params` handle
+params-only checkpoints for inference/distribution.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+from flax import serialization
+
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "save_params",
+    "load_params",
+    "latest_checkpoint",
+]
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_get(x) if hasattr(x, "device") else x, tree
+    )
+
+
+def save_checkpoint(path: str | os.PathLike, state) -> str:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    data = serialization.to_bytes(_to_host(state))
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    tmp.replace(path)  # atomic: no torn checkpoints on preemption
+    return str(path)
+
+
+def restore_checkpoint(path: str | os.PathLike, state_template):
+    """Restore into a pytree of the same structure (e.g. a fresh state)."""
+    data = Path(path).read_bytes()
+    return serialization.from_bytes(state_template, data)
+
+
+def save_params(path: str | os.PathLike, params) -> str:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(_to_host(params)))
+    return str(path)
+
+
+def load_params(path: str | os.PathLike, params_template):
+    """Load params from a params-only OR full-TrainState checkpoint.
+
+    Full-state files (saved per-epoch by the Trainer) keep params under a
+    'params' key next to 'step'/'opt_state'; detect and unwrap.
+    """
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    if (
+        isinstance(raw, dict)
+        and "params" in raw
+        and ("opt_state" in raw or "step" in raw)
+    ):
+        raw = raw["params"]
+    return serialization.from_state_dict(params_template, raw)
+
+
+def latest_checkpoint(directory: str | os.PathLike, prefix: str = "model_"):
+    """Highest-numbered ``<prefix><n>.msgpack`` in a directory, or None."""
+    directory = Path(directory)
+    if not directory.is_dir():
+        return None
+    best, best_n = None, -1
+    for p in directory.glob(f"{prefix}*.msgpack"):
+        try:
+            n = int(p.stem[len(prefix):])
+        except ValueError:
+            continue
+        if n > best_n:
+            best, best_n = p, n
+    return str(best) if best else None

@@ -1,0 +1,121 @@
+"""Jit-compiled train/eval steps with mesh sharding.
+
+Replaces the reference's per-step ``sess.run`` fwd/bwd (train.py:125-127)
+with a donated, jit-compiled functional step:
+
+- loss = pyramid loss (multiscale or robust) + gamma * sum ||v||^2 / 2
+  (train.py:66-75 semantics);
+- Adam with TF defaults (b1=0.9, b2=0.999, eps=1e-8) under the
+  piecewise-halving LR schedule;
+- data parallelism by construction: batches arrive sharded over the mesh
+  'data' axis (optionally H over 'spatial'), params replicated; XLA inserts
+  the psum gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from pwcnet_tpu import losses
+from pwcnet_tpu.train_lib.schedule import make_lr
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+
+
+class TrainState(train_state.TrainState):
+    """Params + Adam state + step (improves on the reference's resume,
+    which silently dropped Adam beta powers and the global step —
+    SURVEY.md §5 checkpoint row)."""
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    input_shape: Sequence[int],
+    learning_rate: float = 1e-4,
+    lr_scheduling: bool = True,
+) -> TrainState:
+    images = jnp.zeros(input_shape, model.dtype)
+    variables = model.init(rng, images, images)
+    tx = optax.adam(
+        make_lr(learning_rate, lr_scheduling), b1=0.9, b2=0.999, eps=1e-8
+    )
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx
+    )
+
+
+def make_loss_fn(
+    model,
+    loss_name: str = "multiscale",
+    weights: Sequence[float] = losses.DEFAULT_WEIGHTS,
+    gamma: float = 4e-4,
+    epsilon: float = 0.02,
+    q: float = 0.4,
+) -> Callable:
+    """(params, images(B,2,H,W,3), flows_gt) -> (loss, metrics)."""
+
+    if loss_name == "multiscale":
+        criterion = functools.partial(losses.multiscale_loss, weights=weights)
+    elif loss_name == "robust":
+        criterion = functools.partial(
+            losses.multirobust_loss, weights=weights, epsilon=epsilon, q=q
+        )
+    else:
+        raise ValueError(f"loss must be 'multiscale' or 'robust': {loss_name!r}")
+
+    def loss_fn(params, images, flows_gt):
+        images_0 = images[:, 0]
+        images_1 = images[:, 1]
+        flows_final, pyramid = model.apply(
+            {"params": params}, images_0, images_1
+        )
+        data_loss = criterion(flows_gt, pyramid)
+        total = data_loss + gamma * losses.weight_decay(params)
+        metrics = {
+            "loss": total,
+            "data_loss": data_loss,
+            "epe": losses.epe(flows_gt, flows_final),
+        }
+        return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(model, donate: bool = True, **loss_kwargs) -> Callable:
+    """Jitted (state, images, flows_gt) -> (state, metrics)."""
+    loss_fn = make_loss_fn(model, **loss_kwargs)
+
+    def train_step(state: TrainState, images, flows_gt):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, images, flows_gt)
+        state = state.apply_gradients(grads=grads)
+        return state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, **loss_kwargs) -> Callable:
+    """Jitted (state, images, flows_gt) -> metrics."""
+    loss_fn = make_loss_fn(model, **loss_kwargs)
+
+    def eval_step(state: TrainState, images, flows_gt):
+        _, metrics = loss_fn(state.params, images, flows_gt)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def make_forward(model, with_pyramid: bool = True) -> Callable:
+    """Jitted inference: (params, images_0, images_1) -> flow outputs."""
+
+    def forward(params, images_0, images_1):
+        return model.apply({"params": params}, images_0, images_1)
+
+    return jax.jit(forward)

@@ -1,0 +1,225 @@
+"""High-level Trainer driving the full training loop.
+
+The TPU-native counterpart of the reference's Trainer (train.py:18-172):
+
+- datasets/loaders from `pwcnet_tpu.data` (threaded decode + device
+  prefetch instead of torch DataLoader + feed_dict);
+- a donated jit train step, data-parallel over a device mesh;
+- per-epoch validation (aggregated, unlike the reference's per-batch
+  summaries), flow-pyramid visualization, and full-state checkpoints;
+- metrics to ``logs/history_<ts>/{train,val}`` as JSONL (+ TensorBoard when
+  available), config snapshot + artifact collection via ExperimentSaver.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwcnet_tpu.data import DataLoader, device_prefetch, get_dataset
+from pwcnet_tpu.models import PWCDCNet
+from pwcnet_tpu.parallel import batch_sharding, make_mesh
+from pwcnet_tpu.train_lib.checkpoint import restore_checkpoint, save_checkpoint
+from pwcnet_tpu.train_lib.metrics import MetricsLogger
+from pwcnet_tpu.train_lib.step import (
+    create_train_state,
+    make_eval_step,
+    make_forward,
+    make_train_step,
+)
+from pwcnet_tpu.utils.config import ExperimentSaver, timestamp
+from pwcnet_tpu.utils.flow_viz import vis_flow_pyramid
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(self, args, mesh=None, spatial: int = 1):
+        self.args = args
+        if mesh is None:
+            # data axis must divide the global batch; use the largest
+            # device count that does (leftover devices idle, warned).
+            import math
+
+            import jax as _jax
+
+            avail = len(_jax.devices()) // spatial
+            data = math.gcd(args.batch_size, avail)
+            if data * spatial < len(_jax.devices()):
+                print(
+                    f"note: using {data * spatial}/{len(_jax.devices())} "
+                    f"devices (batch_size {args.batch_size} limits the "
+                    "data axis)"
+                )
+            mesh = make_mesh(
+                _jax.devices()[: data * spatial], data=data, spatial=spatial
+            )
+        self.mesh = mesh
+        self._build_dataloader()
+        self._build_model()
+        self._build_logging()
+
+    # ------------------------------------------------------------------
+    def _build_dataloader(self):
+        args = self.args
+        dset = get_dataset(args.dataset)
+        data_args = dict(
+            dataset_dir=args.dataset_dir,
+            origin_size=None,
+            crop_type=args.crop_type,
+            crop_shape=args.crop_shape,
+            resize_shape=args.resize_shape,
+            resize_scale=args.resize_scale,
+            random_flip=getattr(args, "random_flip", False),
+        )
+        tset = dset(train_or_val="train", **data_args)
+        vset = dset(train_or_val="val", **data_args)
+        self.image_size = tset.image_size
+        self.num_batches = len(tset.samples) // args.batch_size
+        print(
+            f"Found {len(tset.samples)} samples -> "
+            f"{self.num_batches} mini-batches"
+        )
+        loader_args = dict(
+            batch_size=args.batch_size,
+            num_workers=args.num_workers,
+            drop_last=True,
+        )
+        self.tloader = DataLoader(tset, shuffle=True, **loader_args)
+        self.vloader = DataLoader(vset, shuffle=False, **loader_args)
+
+    def _build_model(self):
+        args = self.args
+        self.model = PWCDCNet(
+            num_levels=args.num_levels,
+            search_range=args.search_range,
+            warp_type=args.warp_type,
+            use_dc=args.use_dc,
+            output_level=args.output_level,
+        )
+        h, w = self.image_size
+        self.state = create_train_state(
+            self.model,
+            jax.random.PRNGKey(getattr(self.args, "seed", 0)),
+            (1, h, w, 3),
+            learning_rate=args.lr,
+            lr_scheduling=args.lr_scheduling,
+        )
+        if args.resume is not None:
+            print(f"Loading learned model from checkpoint {args.resume}")
+            self.state = restore_checkpoint(args.resume, self.state)
+
+        loss_kwargs = dict(
+            loss_name=args.loss,
+            weights=tuple(args.weights),
+            gamma=args.gamma,
+            epsilon=args.epsilon,
+            q=args.q,
+        )
+        self.train_step = make_train_step(self.model, **loss_kwargs)
+        self.eval_step = make_eval_step(self.model, **loss_kwargs)
+        self.forward = make_forward(self.model)
+        self.batch_shardings = (
+            batch_sharding(self.mesh),
+            batch_sharding(self.mesh),
+        )
+
+    def _build_logging(self):
+        logdir = "logs/history_" + timestamp()
+        self.logdir = logdir
+        self.tlogger = MetricsLogger(logdir + "/train")
+        self.vlogger = MetricsLogger(logdir + "/val")
+        self.exp_saver = ExperimentSaver(logdir=logdir, parse_args=self.args)
+        print(f"Setup completed, histories are logged in {logdir}")
+
+    # ------------------------------------------------------------------
+    def _put(self, batch):
+        images, flows = batch
+        return (
+            jax.device_put(images, self.batch_shardings[0]),
+            jax.device_put(flows, self.batch_shardings[1]),
+        )
+
+    def train(self):
+        args = self.args
+        log_interval = getattr(args, "log_interval", 1000)
+        for epoch in range(args.num_epochs):
+            # -- training ------------------------------------------------
+            last_metrics = None
+            for images, flows_gt in device_prefetch(
+                iter(self.tloader), sharding=self.batch_shardings[0]
+            ):
+                # flows arrive with the images' sharding layout already
+                self.state, metrics = self.train_step(
+                    self.state, images, flows_gt
+                )
+                last_metrics = metrics
+                g_step = int(self.state.step)
+                if g_step % log_interval == 0:
+                    self.tlogger.log(
+                        g_step,
+                        {
+                            "loss/pwc": metrics["loss"],
+                            "EPE/source": metrics["epe"],
+                        },
+                    )
+            g_step = int(self.state.step)
+
+            # -- validation ----------------------------------------------
+            val_losses, val_epes = [], []
+            val_batch = None
+            for images, flows_gt in self.vloader:
+                images, flows_gt = self._put((images, flows_gt))
+                metrics = self.eval_step(self.state, images, flows_gt)
+                val_losses.append(float(metrics["loss"]))
+                val_epes.append(float(metrics["epe"]))
+                val_batch = (images, flows_gt)
+            if val_losses:
+                self.vlogger.log(
+                    g_step,
+                    {
+                        "loss/pwc": float(np.mean(val_losses)),
+                        "EPE/source": float(np.mean(val_epes)),
+                    },
+                )
+
+            # -- visualization --------------------------------------------
+            if args.visualize and val_batch is not None:
+                os.makedirs("./figure", exist_ok=True)
+                images, flows_gt = val_batch
+                _, pyramid = self.forward(
+                    self.state.params, images[:, 0], images[:, 1]
+                )
+                flow_set = [
+                    np.asarray(f[0]) * (20.0 / 2 ** (args.num_levels - l))
+                    for l, f in enumerate(pyramid)
+                ]
+                vis_flow_pyramid(
+                    flow_set,
+                    np.asarray(flows_gt[0]),
+                    np.asarray(images[0]),
+                    f"./figure/flow_{str(epoch + 1).zfill(4)}.png",
+                )
+
+            # -- checkpoint ------------------------------------------------
+            os.makedirs("./model", exist_ok=True)
+            save_checkpoint(f"./model/model_{epoch + 1}.msgpack", self.state)
+            print(
+                f"epoch {epoch + 1}/{args.num_epochs} step {g_step} "
+                + (
+                    f"loss {float(last_metrics['loss']):.4f} "
+                    f"epe {float(last_metrics['epe']):.4f}"
+                    if last_metrics is not None
+                    else ""
+                )
+            )
+
+        self.tlogger.close()
+        self.vlogger.close()
+        self.exp_saver.append(["./figure", "./model"])
+        self.exp_saver.save()
+        return self.state

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Single-pair inference CLI (+ latency benchmark) — reference test.py.
+
+Runs PWCDCNet on one image pair: crops to a multiple of 64, loads a
+checkpoint (msgpack from this framework, or a TF .ckpt via the converter),
+renders the flow pyramid to ./test_figure/, and with --time reports the
+mean jitted-forward latency (device-synchronized, compile excluded).
+
+Example:
+    python test.py --input_images a.png b.png -r model/model_100.msgpack
+    python test.py --input_images a.png b.png -t
+"""
+
+import argparse
+import os
+import re
+import time
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input_images", type=str, nargs=2, required=True,
+                        help="Target images (required)")
+    parser.add_argument("-r", "--resume", type=str, default=None,
+                        help="Learned parameter checkpoint file [None]")
+    parser.add_argument("--time", "-t", action="store_true",
+                        help="Measure inference speed")
+    parser.add_argument("--iters", type=int, default=1000,
+                        help="# of timing iterations [1000]")
+    parser.add_argument("--save_flow", type=str, default=None,
+                        help="Also write the final flow as a .flo file")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX platform (tpu/cpu) [auto]")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    for key, item in vars(args).items():
+        print(f"{key} : {item}")
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        # a sitecustomize may have pinned jax_platforms already
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pwcnet_tpu.inference import FlowPredictor, factor_crop, load_image
+    from pwcnet_tpu.utils import save_flow as write_flo
+    from pwcnet_tpu.utils import vis_flow_pyramid
+
+    predictor = FlowPredictor(checkpoint=args.resume)
+    img0 = load_image(args.input_images[0])
+    img1 = load_image(args.input_images[1])
+
+    flow_final, pyramid_px, images = predictor(img0, img1)
+
+    if args.time:
+        batch = jnp.asarray(
+            np.stack([factor_crop(img0), factor_crop(img1)])[None].astype(
+                np.float32
+            )
+            / 255.0
+        )
+        out = predictor.raw_forward(batch)  # warm-up/compile
+        out[0].block_until_ready()
+        time_s = time.time()
+        for _ in range(args.iters):
+            out = predictor.raw_forward(batch)
+        out[0].block_until_ready()
+        time_iter = (time.time() - time_s) / args.iters
+        print(
+            f"Inference time: {time_iter} sec "
+            f"(averaged over {args.iters} iterations)"
+        )
+
+    os.makedirs("./test_figure", exist_ok=True)
+    fname = "_".join(re.split("[/.]", args.input_images[0])[-3:-1])
+    vis_flow_pyramid(
+        pyramid_px,
+        images=images,
+        filename=f"./test_figure/test_{fname}.pdf",
+    )
+    if args.save_flow:
+        write_flo(args.save_flow, flow_final)
+    print("Figure saved")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Multi-frame sequence inference CLI — reference test_continuous.py.
+
+Runs PWCDCNet over consecutive frame pairs of an image sequence and writes
+a flow-pyramid visualization per pair to ./test_figure/<dir>/<frame>.png.
+Wildcard arguments are expanded properly (the reference's handling was
+broken — it globbed a list; here every argument is globbed and sorted).
+
+Example:
+    python test_continuous.py -i 'frames/*.png' -r model/model_100.msgpack
+"""
+
+import argparse
+import os
+import re
+from glob import glob
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("-i", "--input_images", type=str, nargs="+",
+                        required=True, help="Target images (required)")
+    parser.add_argument("-r", "--resume", type=str, default=None,
+                        help="Learned parameter checkpoint file [None]")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX platform (tpu/cpu) [auto]")
+    return parser
+
+
+def expand_wildcards(paths):
+    out = []
+    for p in paths:
+        if any(ch in p for ch in "*?["):
+            out.extend(sorted(glob(p)))
+        else:
+            out.append(p)
+    return out
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.input_images = expand_wildcards(args.input_images)
+    if len(args.input_images) < 2:
+        raise ValueError("# of input images must be >= 2")
+
+    print(args.resume)
+    for i, image in enumerate(args.input_images):
+        print(image)
+        if i == 5:
+            print(f"... and more ({len(args.input_images)} images)")
+            break
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        # a sitecustomize may have pinned jax_platforms already
+        jax.config.update("jax_platforms", args.platform)
+
+    from pwcnet_tpu.inference import FlowPredictor, load_image
+    from pwcnet_tpu.utils import vis_flow_pyramid
+
+    predictor = FlowPredictor(checkpoint=args.resume)
+    os.makedirs("./test_figure", exist_ok=True)
+
+    pairs = zip(args.input_images[:-1], args.input_images[1:])
+    for img1_path, img2_path in pairs:
+        img0 = load_image(img1_path)
+        img1 = load_image(img2_path)
+        _, pyramid_px, images = predictor(img0, img1)
+
+        parts = re.split("[/.]", img1_path)[-3:-1]
+        dname, fname = (parts if len(parts) == 2 else ("seq", parts[-1]))
+        os.makedirs(f"./test_figure/{dname}", exist_ok=True)
+        vis_flow_pyramid(
+            pyramid_px,
+            images=images,
+            filename=f"./test_figure/{dname}/{fname}.png",
+        )
+    print("Figure saved")
+
+
+if __name__ == "__main__":
+    main()

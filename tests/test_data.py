@@ -1,0 +1,193 @@
+"""Data pipeline tests: dataset layouts, augmentation, loader, prefetch."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pwcnet_tpu.data import (
+    DataLoader,
+    FlyingChairs,
+    SintelClean,
+    SyntheticFlow,
+    device_prefetch,
+    get_dataset,
+)
+from pwcnet_tpu.utils import save_flow
+
+
+def _make_sintel(root, scenes=("alley_1", "alley_2"), frames=4, hw=(36, 48)):
+    rng = np.random.default_rng(0)
+    h, w = hw
+    for scene in scenes:
+        img_dir = root / "training" / "clean" / scene
+        flow_dir = root / "training" / "flow" / scene
+        img_dir.mkdir(parents=True)
+        flow_dir.mkdir(parents=True)
+        for t in range(1, frames + 1):
+            arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"frame_{t:04d}.png")
+            if t < frames:
+                save_flow(
+                    flow_dir / f"frame_{t:04d}.flo",
+                    rng.standard_normal((h, w, 2)).astype(np.float32),
+                )
+
+
+def _make_chairs(root, n=12, hw=(32, 40)):
+    rng = np.random.default_rng(0)
+    h, w = hw
+    data = root / "data"
+    data.mkdir(parents=True)
+    for i in range(1, n + 1):
+        for tag in ("img1", "img2"):
+            arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(data / f"{i:05d}_{tag}.ppm")
+        save_flow(
+            data / f"{i:05d}_flow.flo",
+            rng.standard_normal((h, w, 2)).astype(np.float32),
+        )
+
+
+class TestSintel:
+    def test_scan_and_getitem(self, tmp_path):
+        _make_sintel(tmp_path)
+        ds = SintelClean(
+            "train", tmp_path, crop_type="random", crop_shape=(24, 32)
+        )
+        # 2 scenes x 3 pairs = 6 total; 1-in-10 val split -> train keeps 6
+        assert len(ds.samples) == 6
+        assert ds.image_size == (24, 32)
+        images, flow = ds[0]
+        assert images.shape == (2, 24, 32, 3) and images.dtype == np.uint8
+        assert flow.shape == (24, 32, 2) and flow.dtype == np.float32
+
+    def test_no_crop_native_size(self, tmp_path):
+        _make_sintel(tmp_path)
+        ds = SintelClean("train", tmp_path, crop_type="none", crop_shape=None)
+        assert ds.image_size == (36, 48)
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            SintelClean("train", tmp_path / "nope")
+
+
+class TestFlyingChairs:
+    def test_fallback_split(self, tmp_path):
+        _make_chairs(tmp_path, n=20)
+        tr = FlyingChairs("train", tmp_path, crop_type="none", crop_shape=None)
+        va = FlyingChairs("val", tmp_path, crop_type="none", crop_shape=None)
+        assert len(tr.samples) == 18 and len(va.samples) == 2
+        assert not set(map(tuple, tr.samples)) & set(map(tuple, va.samples))
+
+    def test_official_split_file(self, tmp_path):
+        _make_chairs(tmp_path, n=10)
+        (tmp_path / "FlyingChairs_train_val.txt").write_text(
+            "\n".join(["1"] * 7 + ["2"] * 3)
+        )
+        tr = FlyingChairs("train", tmp_path, crop_type="none", crop_shape=None)
+        va = FlyingChairs("val", tmp_path, crop_type="none", crop_shape=None)
+        assert len(tr.samples) == 7 and len(va.samples) == 3
+
+
+class TestAugmentation:
+    def test_resize_scale_rescales_flow(self, tmp_path):
+        _make_sintel(tmp_path, scenes=("a",), frames=2)
+        # overwrite gt with constant flow (dx=4, dy=-2) for an exact check
+        flo = (
+            tmp_path / "training" / "flow" / "a" / "frame_0001.flo"
+        )
+        const = np.empty((36, 48, 2), np.float32)
+        const[..., 0], const[..., 1] = 4.0, -2.0
+        save_flow(flo, const)
+        ds = SintelClean(
+            "train",
+            tmp_path,
+            crop_type="none",
+            crop_shape=None,
+            resize_scale=0.5,
+        )
+        images, flow = ds[0]
+        assert images.shape[1:3] == (18, 24)
+        # constant field survives resampling; magnitudes halve with scale
+        np.testing.assert_allclose(flow[..., 0], 2.0, atol=1e-4)
+        np.testing.assert_allclose(flow[..., 1], -1.0, atol=1e-4)
+
+    def test_flip_negates_flow(self):
+        ds = SyntheticFlow(
+            "train", num_samples=4, image_shape=(16, 16), random_flip=True
+        )
+        # run several draws; flipped flow magnitude is preserved
+        for i in range(4):
+            _, flow = ds[i]
+            assert set(np.unique(np.abs(flow[..., 0]))) <= set(range(5))
+
+    def test_crop_too_large_raises(self, tmp_path):
+        _make_sintel(tmp_path, scenes=("a",), frames=2)
+        ds = SintelClean(
+            "train", tmp_path, crop_type="random", crop_shape=(100, 100)
+        )
+        with pytest.raises(ValueError):
+            ds[0]
+
+
+class TestSynthetic:
+    def test_known_flow(self):
+        ds = SyntheticFlow("train", num_samples=8, image_shape=(32, 32))
+        images, flow = ds[0]
+        assert images.shape == (2, 32, 32, 3)
+        dx, dy = flow[0, 0, 0], flow[0, 0, 1]
+        # frame1 equals frame0 rolled by (-dy, -dx): interior pixels match
+        img0 = images[0].astype(np.int32)
+        img1 = images[1].astype(np.int32)
+        rolled = np.roll(img0, shift=(-int(dy), -int(dx)), axis=(0, 1))
+        np.testing.assert_array_equal(img1, rolled)
+
+    def test_train_val_disjoint(self):
+        tr = SyntheticFlow("train", num_samples=8)
+        va = SyntheticFlow("val", num_samples=8)
+        assert not set(tr.samples) & set(va.samples)
+
+
+class TestLoader:
+    def test_batching_shapes_and_normalization(self):
+        ds = SyntheticFlow("train", num_samples=10, image_shape=(16, 16))
+        loader = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+        batches = list(loader)
+        assert len(batches) == 2 == len(loader)
+        images, flows = batches[0]
+        assert images.shape == (4, 2, 16, 16, 3)
+        assert images.dtype == np.float32
+        assert 0.0 <= images.min() and images.max() <= 1.0
+        assert flows.shape == (4, 16, 16, 2)
+
+    def test_drop_last_false(self):
+        ds = SyntheticFlow("train", num_samples=10, image_shape=(16, 16))
+        loader = DataLoader(ds, batch_size=4, drop_last=False)
+        sizes = [b[0].shape[0] for b in loader]
+        assert sizes == [4, 4, 2]
+
+    def test_shuffle_deterministic_by_seed(self):
+        ds = SyntheticFlow("train", num_samples=8, image_shape=(16, 16))
+        a = [b[1].sum() for b in DataLoader(ds, 4, shuffle=True, seed=1)]
+        b = [b[1].sum() for b in DataLoader(ds, 4, shuffle=True, seed=1)]
+        np.testing.assert_allclose(a, b)
+
+    def test_device_prefetch(self):
+        import jax
+
+        ds = SyntheticFlow("train", num_samples=8, image_shape=(16, 16))
+        loader = DataLoader(ds, batch_size=4)
+        out = list(device_prefetch(iter(loader), size=2))
+        assert len(out) == 2
+        assert isinstance(out[0][0], jax.Array)
+
+    def test_device_prefetch_with_sharding(self):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        sharding = NamedSharding(mesh, P("data"))
+        ds = SyntheticFlow("train", num_samples=16, image_shape=(16, 16))
+        loader = DataLoader(ds, batch_size=8)
+        (images, flows) = next(device_prefetch(iter(loader), sharding=sharding))
+        assert images.sharding.is_equivalent_to(sharding, images.ndim)

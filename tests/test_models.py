@@ -1,0 +1,180 @@
+"""Model structure/shape tests, incl. checkpoint-tree parity with the
+reference's 110-tensor PWCDCNet parameter tree (SURVEY.md §2.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwcnet_tpu.models import PWCDCNet, PWCNet, flow_scales
+
+H, W = 64, 64  # multiples of 2**6
+
+
+def _init_pwcdcnet(**kw):
+    model = PWCDCNet(**kw)
+    imgs = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, imgs)
+    return model, variables
+
+
+class TestPWCDCNetParams:
+    def test_param_tree_matches_reference_checkpoint(self):
+        _, variables = _init_pwcdcnet()
+        params = variables["params"]
+
+        # fp_extractor: 18 convs (3 per level x 6 levels), HWIO 3x3.
+        fp = params["fp_extractor"]
+        assert set(fp.keys()) == {
+            "conv2d" if i == 0 else f"conv2d_{i}" for i in range(18)
+        }
+        filters = [16, 32, 64, 96, 128, 192]
+        in_ch = 3
+        for i in range(18):
+            name = "conv2d" if i == 0 else f"conv2d_{i}"
+            f = filters[i // 3]
+            expect_in = in_ch if i % 3 == 0 else f
+            assert fp[name]["kernel"].shape == (3, 3, expect_in, f), name
+            assert fp[name]["bias"].shape == (f,)
+            if i % 3 == 2:
+                in_ch = f
+
+        # Estimators optflow_0..optflow_4 (level 5 never called -> absent);
+        # input channels per level are checkpoint-verified: 81(cv) +
+        # {192,128,96,64,32}(features_0) + {0,2}(flow_up) + {0,32}(feat_up).
+        expected_in = {0: 81 + 192, 1: 81 + 128 + 2 + 32, 2: 81 + 96 + 2 + 32,
+                       3: 81 + 64 + 2 + 32, 4: 81 + 32 + 2 + 32}
+        assert expected_in == {0: 273, 1: 243, 2: 211, 3: 179, 4: 147}
+        for l in range(5):
+            est = params[f"optflow_{l}"]
+            assert set(est.keys()) == {
+                "conv2d" if i == 0 else f"conv2d_{i}" for i in range(6)
+            }
+            chain = [expected_in[l], 128, 128, 96, 64, 32]
+            for i, f in enumerate([128, 128, 96, 64, 32, 2]):
+                name = "conv2d" if i == 0 else f"conv2d_{i}"
+                assert est[name]["kernel"].shape == (3, 3, chain[i], f), (l, name)
+        assert "optflow_5" not in params
+
+        # Context: 7 convs, input 2+32=34 channels.
+        ctx = params["context"]
+        assert set(ctx.keys()) == {
+            "conv2d" if i == 0 else f"conv2d_{i}" for i in range(7)
+        }
+        chain = [34, 128, 128, 128, 96, 64, 32]
+        for i, f in enumerate([128, 128, 128, 96, 64, 32, 2]):
+            name = "conv2d" if i == 0 else f"conv2d_{i}"
+            assert ctx[name]["kernel"].shape == (3, 3, chain[i], f)
+
+        # 110 tensors total: (18 + 5*6 + 7) convs x (kernel, bias).
+        n_tensors = len(jax.tree_util.tree_leaves(params))
+        assert n_tensors == 110
+
+        n_params = sum(
+            np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)
+        )
+        # Exact total from the ckpt-verified shape tree (SURVEY.md §2.1's
+        # "~4.05M" estimate was wrong; the shapes sum to 5,029,868).
+        assert n_params == 5_029_868
+
+    def test_dense_connection_changes_widths(self):
+        _, variables = _init_pwcdcnet(use_dc=True)
+        est = variables["params"]["optflow_0"]
+        # with dense connections the running feature width accumulates
+        assert est["conv2d_1"]["kernel"].shape == (3, 3, 128 + 273, 128)
+
+
+class TestPWCDCNetForward:
+    def test_output_shapes_and_pyramid(self):
+        model, variables = _init_pwcdcnet()
+        imgs0 = jnp.ones((2, H, W, 3), jnp.float32) * 0.5
+        imgs1 = jnp.ones((2, H, W, 3), jnp.float32) * 0.5
+        flows_final, pyramid = model.apply(variables, imgs0, imgs1)
+        assert flows_final.shape == (2, H, W, 2)
+        assert len(pyramid) == 5
+        for l, f in enumerate(pyramid):
+            s = 2 ** (6 - l)
+            assert f.shape == (2, H // s, W // s, 2)
+
+    def test_with_features(self):
+        model, variables = _init_pwcdcnet()
+        imgs = jnp.zeros((1, H, W, 3), jnp.float32)
+        out = model.apply(variables, imgs, imgs, with_features=True)
+        assert len(out) == 3
+        pyramid_0 = out[2]
+        assert len(pyramid_0) == 6
+        assert pyramid_0[0].shape == (1, 1, 1, 192)  # 64/64=1
+        assert pyramid_0[5].shape == (1, 32, 32, 16)
+
+    def test_identical_images_give_near_zero_center_flow(self):
+        # Not exactly zero (biases/conv responses), but finite & consistent.
+        model, variables = _init_pwcdcnet()
+        imgs = jnp.asarray(
+            np.random.default_rng(1).random((1, H, W, 3)), jnp.float32
+        )
+        flows_final, _ = model.apply(variables, imgs, imgs)
+        assert np.all(np.isfinite(np.asarray(flows_final)))
+
+    def test_scales_helper(self):
+        assert flow_scales(6) == [None, 0.625, 1.25, 2.5, 5.0, 10.0, 20.0]
+
+    def test_jit_forward(self):
+        model, variables = _init_pwcdcnet()
+        imgs = jnp.zeros((1, H, W, 3), jnp.float32)
+        fn = jax.jit(lambda v, a, b: model.apply(v, a, b)[0])
+        out = fn(variables, imgs, imgs)
+        assert out.shape == (1, H, W, 2)
+
+
+class TestPWCNetLegacy:
+    def test_forward_and_params(self):
+        model = PWCNet(context="final")
+        imgs = jnp.zeros((1, H, W, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), imgs, imgs)
+        final_flow, flows, pyramid_0 = model.apply(variables, imgs, imgs)
+        assert final_flow.shape == (1, H, W, 2)
+        assert len(flows) == 5
+        # legacy pyramid: 12 convs (2 per level)
+        fp = variables["params"]["fp_extractor"]
+        assert len(fp) == 12
+
+    def test_context_all(self):
+        model = PWCNet(context="all", output_level=2, num_levels=4)
+        imgs = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), imgs, imgs)
+        final_flow, flows, _ = model.apply(variables, imgs, imgs)
+        assert len(flows) == 3
+        assert "context_0" in variables["params"]
+
+
+class TestConvPaddingSemantics:
+    """flax SAME padding must match TF1 SAME (manual-pad equivalence)."""
+
+    def test_stride2_even_input_pads_bottom_right(self, rng):
+        import flax.linen as nn
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        conv = nn.Conv(6, (3, 3), strides=(2, 2), padding="SAME")
+        v = conv.init(jax.random.PRNGKey(0), x)
+        same = conv.apply(v, x)
+        # TF SAME for k=3, s=2, even input: pad 0 top/left, 1 bottom/right.
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        valid = nn.Conv(6, (3, 3), strides=(2, 2), padding="VALID").apply(v, xp)
+        np.testing.assert_allclose(
+            np.asarray(same), np.asarray(valid), rtol=1e-5, atol=1e-5
+        )
+
+    def test_dilated_same_pads_by_dilation(self, rng):
+        import flax.linen as nn
+
+        x = jnp.asarray(rng.standard_normal((1, 9, 9, 3)).astype(np.float32))
+        conv = nn.Conv(4, (3, 3), padding="SAME", kernel_dilation=(4, 4))
+        v = conv.init(jax.random.PRNGKey(0), x)
+        same = conv.apply(v, x)
+        xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        valid = nn.Conv(4, (3, 3), padding="VALID", kernel_dilation=(4, 4)).apply(
+            v, xp
+        )
+        np.testing.assert_allclose(
+            np.asarray(same), np.asarray(valid), rtol=1e-5, atol=1e-5
+        )

@@ -1,0 +1,232 @@
+"""TF-checkpoint converter tests.
+
+- Parses the *real* reference .index files (read-only at /root/reference)
+  and checks the 110-tensor model tree and its exact shapes.
+- Round-trips a synthetic TF bundle (index written by an independent
+  minimal writer here + raw data shard) through the reader.
+"""
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pwcnet_tpu.train_lib import tf_converter as tfc
+
+REF = Path("/root/reference")
+REF_INDEXES = [
+    REF / "model_1000epochs/model_600.ckpt.index",
+    REF / "model_100epochs_ft_Chairs/model_50.ckpt.index",
+    REF / "model_250epochs_ft_Final/model_250.ckpt.index",
+]
+
+
+def _expected_model_shapes():
+    """The reference PWCDCNet shape tree, derived from the architecture."""
+    shapes = {}
+    filters = [16, 32, 64, 96, 128, 192]
+    in_ch = 3
+    idx = 0
+    for level in range(6):
+        f = filters[level]
+        for s in range(3):
+            name = "conv2d" if idx == 0 else f"conv2d_{idx}"
+            i = in_ch if s == 0 else f
+            shapes[f"pwcdcnet/fp_extractor/{name}/kernel"] = (3, 3, i, f)
+            shapes[f"pwcdcnet/fp_extractor/{name}/bias"] = (f,)
+            idx += 1
+        in_ch = f
+    est_in = {0: 273, 1: 243, 2: 211, 3: 179, 4: 147}
+    for level in range(5):
+        chain = [est_in[level], 128, 128, 96, 64, 32]
+        for i, f in enumerate([128, 128, 96, 64, 32, 2]):
+            name = "conv2d" if i == 0 else f"conv2d_{i}"
+            shapes[f"pwcdcnet/optflow_{level}/{name}/kernel"] = (3, 3, chain[i], f)
+            shapes[f"pwcdcnet/optflow_{level}/{name}/bias"] = (f,)
+    chain = [34, 128, 128, 128, 96, 64, 32]
+    for i, f in enumerate([128, 128, 128, 96, 64, 32, 2]):
+        name = "conv2d" if i == 0 else f"conv2d_{i}"
+        shapes[f"pwcdcnet/context/{name}/kernel"] = (3, 3, chain[i], f)
+        shapes[f"pwcdcnet/context/{name}/bias"] = (f,)
+    return shapes
+
+
+@pytest.mark.parametrize("index_path", REF_INDEXES, ids=lambda p: p.parent.name)
+def test_reference_index_parses_with_exact_shapes(index_path):
+    if not index_path.exists():
+        pytest.skip("reference checkpoint index not present")
+    entries = tfc.read_index_entries(index_path)
+    model = {n: e for n, e in entries.items() if tfc.tf_name_to_path(n)}
+    expected = _expected_model_shapes()
+    assert len(model) == 110
+    for name, shape in expected.items():
+        assert name in model, name
+        assert model[name].shape == shape, (name, model[name].shape, shape)
+        assert model[name].dtype == np.float32
+
+
+class TestNameMapping:
+    def test_model_variables(self):
+        assert tfc.tf_name_to_path("pwcdcnet/fp_extractor/conv2d_3/kernel") == (
+            "fp_extractor",
+            "conv2d_3",
+            "kernel",
+        )
+        assert tfc.tf_name_to_path("pwcdcnet/context/conv2d/bias") == (
+            "context",
+            "conv2d",
+            "bias",
+        )
+
+    def test_skips_optimizer_and_bookkeeping(self):
+        for name in [
+            "pwcdcnet/context/conv2d/bias/Adam",
+            "pwcdcnet/context/conv2d/bias/Adam_1",
+            "beta1_power",
+            "beta2_power",
+            "Variable",
+            "global_step",
+        ]:
+            assert tfc.tf_name_to_path(name) is None
+
+
+# --------------------------------------------------------------- writer
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _block(pairs):
+    body = b""
+    for k, v in pairs:
+        body += _varint(0) + _varint(len(k)) + _varint(len(v)) + k + v
+    body += struct.pack("<I", 0)  # one restart point at 0
+    body += struct.pack("<I", 1)  # num_restarts
+    return body
+
+
+def _entry_proto(dtype, shape, shard, offset, size):
+    shape_msg = b""
+    for d in shape:
+        dim = bytes([1 << 3]) + _varint(d)  # Dim.size = 1
+        shape_msg += bytes([2 << 3 | 2]) + _varint(len(dim)) + dim
+    msg = bytes([1 << 3]) + _varint(dtype)
+    msg += bytes([2 << 3 | 2]) + _varint(len(shape_msg)) + shape_msg
+    msg += bytes([3 << 3]) + _varint(shard)
+    msg += bytes([4 << 3]) + _varint(offset)
+    msg += bytes([5 << 3]) + _varint(size)
+    return msg
+
+
+def _write_bundle(tmp_path, tensors):
+    """Independent minimal TF-bundle writer (uncompressed, 1 shard)."""
+    prefix = tmp_path / "model_7.ckpt"
+    data = b""
+    entries = []
+    for name in sorted(tensors):
+        arr = np.ascontiguousarray(tensors[name], dtype=np.float32)
+        entries.append(
+            (
+                name.encode(),
+                _entry_proto(1, arr.shape, 0, len(data), arr.nbytes),
+            )
+        )
+        data += arr.tobytes()
+    (tmp_path / "model_7.ckpt.data-00000-of-00001").write_bytes(data)
+
+    out = b""
+    handles = []
+    # header entry "" first (empty BundleHeaderProto)
+    data_block = _block([(b"", b"")] + entries)
+    out += data_block + b"\x00" + b"\x00" * 4  # type byte + fake crc
+    handles.append((0, len(data_block)))
+    meta_off = len(out)
+    meta_block = _block([])
+    out += meta_block + b"\x00" + b"\x00" * 4
+    idx_off = len(out)
+    idx_block = _block(
+        [(entries[-1][0] + b"\xff", _varint(handles[0][0]) + _varint(handles[0][1]))]
+    )
+    out += idx_block + b"\x00" + b"\x00" * 4
+    footer = (
+        _varint(meta_off)
+        + _varint(len(meta_block))
+        + _varint(idx_off)
+        + _varint(len(idx_block))
+    )
+    footer += b"\x00" * (40 - len(footer))
+    footer += struct.pack("<Q", 0xDB4775248B80FB57)
+    (tmp_path / "model_7.ckpt.index").write_bytes(out + footer)
+    return prefix
+
+
+class TestBundleRoundtrip:
+    def test_read_back_tensors(self, tmp_path, rng):
+        tensors = {
+            "pwcdcnet/context/conv2d/kernel": rng.standard_normal(
+                (3, 3, 34, 128)
+            ).astype(np.float32),
+            "pwcdcnet/context/conv2d/bias": rng.standard_normal(128).astype(
+                np.float32
+            ),
+            "beta1_power": np.array(0.9, np.float32),
+        }
+        prefix = _write_bundle(tmp_path, tensors)
+        got = tfc.read_tf_checkpoint(prefix)
+        assert set(got) == set(tensors)
+        for k in tensors:
+            np.testing.assert_array_equal(got[k], tensors[k])
+
+    def test_convert_builds_nested_tree(self, tmp_path, rng):
+        tensors = {
+            "pwcdcnet/optflow_0/conv2d/kernel": rng.standard_normal(
+                (3, 3, 4, 8)
+            ).astype(np.float32),
+            "pwcdcnet/optflow_0/conv2d/bias": np.zeros(8, np.float32),
+            "pwcdcnet/optflow_0/conv2d/bias/Adam": np.ones(8, np.float32),
+            "Variable": np.array(5, np.float32),
+        }
+        prefix = _write_bundle(tmp_path, tensors)
+        params = tfc.convert_tf_checkpoint(prefix)
+        assert set(params) == {"optflow_0"}
+        assert params["optflow_0"]["conv2d"]["kernel"].shape == (3, 3, 4, 8)
+
+    def test_load_validates_against_template(self, tmp_path, rng):
+        kern = rng.standard_normal((3, 3, 4, 8)).astype(np.float32)
+        tensors = {
+            "pwcdcnet/optflow_0/conv2d/kernel": kern,
+            "pwcdcnet/optflow_0/conv2d/bias": np.zeros(8, np.float32),
+        }
+        prefix = _write_bundle(tmp_path, tensors)
+        template = {
+            "optflow_0": {
+                "conv2d": {
+                    "kernel": np.zeros((3, 3, 4, 8), np.float32),
+                    "bias": np.zeros(8, np.float32),
+                }
+            }
+        }
+        loaded = tfc.load_tf_checkpoint_params(prefix, template)
+        np.testing.assert_array_equal(loaded["optflow_0"]["conv2d"]["kernel"], kern)
+
+        bad_template = {
+            "optflow_0": {"conv2d": {"kernel": np.zeros((3, 3, 5, 8))}}
+        }
+        with pytest.raises(ValueError, match="incompatible"):
+            tfc.load_tf_checkpoint_params(prefix, bad_template)
+
+    def test_missing_data_shard_raises(self, tmp_path):
+        src = REF_INDEXES[0]
+        if not src.exists():
+            pytest.skip("reference index not present")
+        dst = tmp_path / "model_600.ckpt.index"
+        dst.write_bytes(src.read_bytes())
+        with pytest.raises(FileNotFoundError, match="data"):
+            tfc.read_tf_checkpoint(tmp_path / "model_600.ckpt")
