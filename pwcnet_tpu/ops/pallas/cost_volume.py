@@ -1,0 +1,174 @@
+"""Fused Pallas TPU kernel for the local cost-volume correlation.
+
+The XLA fallback (`pwcnet_tpu.ops.cost_volume`) issues 81 slice-multiply-
+reduce ops; XLA does not fuse the 81 re-reads of the padded f1 window, so
+the op is HBM-bound (measured: the 5-level cost-volume chain is ~half the
+whole PWCDCNet forward time at 448x1024). This kernel reads f0 and f1
+once into VMEM and computes all (2d+1)^2 = 81 taps on-chip.
+
+Layout: TPU vector tiles are (sublane, lane) over the last two dims, so
+NHWC with C=32 would waste 4x the lanes. The kernel instead works on
+(B, H, C, W): W sits in lanes (well-aligned at the fine levels where the
+data is big), C in sublanes, and
+
+- vertical taps v are slices along the untiled H dim (free),
+- horizontal taps u are *static* lane-offset slices (a vector shift),
+- the channel reduction is a sublane reduce,
+- the 1/C scale and the reference's LeakyReLU(0.1) on the cost volume
+  (modules.py:203) are fused into the same pass.
+
+Output is (B, H, D*D, W), transposed back to NHWC by XLA (one cheap pass).
+Wrapper transposes are fused into neighbors by XLA.
+
+Backward is two correlations of the same family expressed with XLA shift
+ops (`_cv_bwd`), registered via jax.custom_vjp so the kernel is trainable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (TPU params)
+
+__all__ = ["cost_volume_pallas"]
+
+
+def _cv_kernel(f0_ref, f1p_ref, out_ref, *, d: int, inv_c: float):
+    """One (batch, H-tile) grid step.
+
+    f0_ref:  (1, TH, C, W)        VMEM
+    f1p_ref: (1, H+2d, C, W+2d)   VMEM (full frame-1 block per batch
+             element; constant block index across H-tiles, fetched once)
+    out_ref: (1, TH, D*D, W)      VMEM
+    """
+    i = pl.program_id(1)
+    th = f0_ref.shape[1]
+    w = out_ref.shape[3]
+    n_taps = 2 * d + 1
+    row0 = i * th
+
+    f0 = f0_ref[0].astype(jnp.float32)  # (TH, C, W)
+    scale = jnp.float32(inv_c)
+    for v in range(n_taps):
+        stripe = f1p_ref[0, pl.ds(row0 + v, th), :, :]  # (TH, C, W+2d)
+        for u in range(n_taps):
+            win = stripe[:, :, u : u + w].astype(jnp.float32)
+            cost = jnp.sum(f0 * win, axis=1) * scale  # (TH, W)
+            cost = jnp.where(cost >= 0, cost, cost * jnp.float32(0.1))
+            out_ref[0, :, v * n_taps + u, :] = cost.astype(out_ref.dtype)
+
+
+def _round_tile(h: int, max_tile: int = 32) -> int:
+    """Largest divisor of h that is <= max_tile (keeps the grid even)."""
+    for t in range(min(h, max_tile), 0, -1):
+        if h % t == 0:
+            return t
+    return h
+
+
+def _cv_forward(f0, f1, *, d: int, tile_h: int | None, interpret: bool):
+    b, h, w, c = f0.shape
+    th = tile_h or _round_tile(h)
+    n_taps = 2 * d + 1
+
+    f0_t = jnp.transpose(f0, (0, 1, 3, 2))  # (B, H, C, W)
+    f1p_t = jnp.transpose(
+        jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)
+    )  # (B, H+2d, C, W+2d)
+
+    grid = (b, h // th)
+    out = pl.pallas_call(
+        functools.partial(_cv_kernel, d=d, inv_c=1.0 / c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, c, w),
+                lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h + 2 * d, c, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, n_taps * n_taps, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, h, n_taps * n_taps, w), f0.dtype
+        ),
+        interpret=interpret,
+    )(f0_t, f1p_t)
+    return jnp.transpose(out, (0, 1, 3, 2))  # back to NHWC (…, 81)
+
+
+def _leaky_grad(y):
+    return jnp.where(y >= 0, 1.0, 0.1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def cost_volume_pallas(
+    f0,
+    f1,
+    search_range: int = 4,
+    tile_h: int | None = None,
+    interpret: bool = False,
+):
+    """Fused cost volume (LeakyReLU included). Drop-in for ops.cost_volume."""
+    return _cv_forward(
+        f0, f1, d=search_range, tile_h=tile_h, interpret=interpret
+    )
+
+
+def _cv_fwd(f0, f1, search_range, tile_h, interpret):
+    out = _cv_forward(
+        f0, f1, d=search_range, tile_h=tile_h, interpret=interpret
+    )
+    return out, (f0, f1)
+
+
+def _cv_bwd(search_range, tile_h, interpret, res, g):
+    """Backward as XLA shift-correlations (zero-pad boundary semantics).
+
+    raw[..., t] = <f0, shift(f1, v, u)> / C ; out = leaky(raw)
+    df0 = sum_t g_t * leaky'(raw_t) * shift(f1, v, u) / C
+    df1[p] = sum_t (g_t * leaky')(p - (v,u)) * f0(p - (v,u)) / C
+    """
+    f0, f1 = res
+    d = search_range
+    b, h, w, c = f0.shape
+    inv_c = jnp.asarray(1.0 / c, f0.dtype)
+    f1p = jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0)))
+
+    df0 = jnp.zeros_like(f0)
+    df1p = jnp.zeros_like(f1p)
+    idx = 0
+    for v in range(-d, d + 1):
+        for u in range(-d, d + 1):
+            win = jax.lax.slice(
+                f1p, (0, v + d, u + d, 0), (b, v + d + h, u + d + w, c)
+            )
+            raw = jnp.sum(f0 * win, axis=-1, keepdims=True) * inv_c
+            gt = g[..., idx : idx + 1] * _leaky_grad(raw).astype(g.dtype)
+            df0 = df0 + gt * win * inv_c
+            contrib = gt * f0 * inv_c
+            df1p = jax.lax.dynamic_update_slice(
+                df1p,
+                jax.lax.dynamic_slice(
+                    df1p, (0, v + d, u + d, 0), (b, h, w, c)
+                )
+                + contrib,
+                (0, v + d, u + d, 0),
+            )
+            idx += 1
+    df1 = jax.lax.slice(df1p, (0, d, d, 0), (b, d + h, d + w, c))
+    return df0, df1
+
+
+cost_volume_pallas.defvjp(_cv_fwd, _cv_bwd)

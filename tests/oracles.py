@@ -159,3 +159,125 @@ def multirobust_loss(flows_gt, flows_pyramid, weights, epsilon=0.01, q=0.4):
         lvl = l1_loss(gt_down, fs)
         total += wgt * (lvl + epsilon) ** q
     return total
+
+
+# ---------------------------------------------------- full-model oracle
+def conv2d_same(x, kernel, bias, stride=1, dilation=1):
+    """NHWC x HWIO 'SAME' conv, TF semantics (pad bottom/right heavier)."""
+    b, h, w, cin = x.shape
+    kh, kw, _, cout = kernel.shape
+    eff_kh = kh + (kh - 1) * (dilation - 1)
+    eff_kw = kw + (kw - 1) * (dilation - 1)
+    out_h = -(-h // stride)
+    out_w = -(-w // stride)
+    pad_h = max((out_h - 1) * stride + eff_kh - h, 0)
+    pad_w = max((out_w - 1) * stride + eff_kw - w, 0)
+    pt, pb = pad_h // 2, pad_h - pad_h // 2
+    pl_, pr = pad_w // 2, pad_w - pad_w // 2
+    xp = np.pad(x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)))
+    out = np.zeros((b, out_h, out_w, cout), np.float32)
+    for oy in range(out_h):
+        for ox in range(out_w):
+            acc = np.zeros((b, cout), np.float32)
+            for ky in range(kh):
+                for kx in range(kw):
+                    iy = oy * stride + ky * dilation
+                    ix = ox * stride + kx * dilation
+                    patch = xp[:, iy, ix, :]  # (b, cin)
+                    acc += patch @ kernel[ky, kx]  # (b, cout)
+            out[:, oy, ox, :] = acc + bias
+    return out
+
+
+def _conv_seq(params, prefix, x, specs):
+    """Run a sequence of convs named conv2d, conv2d_1, ... with LeakyReLU."""
+    for i, (stride, dilation, act, alpha) in enumerate(specs):
+        name = "conv2d" if i == 0 else f"conv2d_{i}"
+        p = params[prefix][name]
+        x = conv2d_same(
+            x, np.asarray(p["kernel"]), np.asarray(p["bias"]),
+            stride=stride, dilation=dilation,
+        )
+        if act:
+            x = leaky_relu(x, alpha)
+    return x
+
+
+def pwcdcnet_forward(params, images_0, images_1, num_levels=6,
+                     search_range=4, output_level=4,
+                     filters=(16, 32, 64, 96, 128, 192)):
+    """Full PWCDCNet forward in NumPy, mirroring model.py:95-134."""
+
+    def extract(images):
+        pyramid = []
+        x = images
+        idx = 0
+        for lvl in range(num_levels):
+            for stride in (2, 1, 1):
+                name = "conv2d" if idx == 0 else f"conv2d_{idx}"
+                p = params["fp_extractor"][name]
+                x = conv2d_same(
+                    x, np.asarray(p["kernel"]), np.asarray(p["bias"]),
+                    stride=stride,
+                )
+                x = leaky_relu(x, 0.1)
+                idx += 1
+            pyramid.append(x)
+        return pyramid[::-1]
+
+    def estimator(lvl, cv, f0, flows_up, features_up, is_output):
+        feats = cv
+        for extra in (f0, flows_up, features_up):
+            if extra is not None:
+                feats = np.concatenate([feats, extra], axis=3)
+        est = params[f"optflow_{lvl}"]
+        for i in range(5):
+            name = "conv2d" if i == 0 else f"conv2d_{i}"
+            p = est[name]
+            feats = leaky_relu(
+                conv2d_same(feats, np.asarray(p["kernel"]),
+                            np.asarray(p["bias"])), 0.1)
+        p = est["conv2d_5"]
+        flows = conv2d_same(feats, np.asarray(p["kernel"]),
+                            np.asarray(p["bias"]))
+        if flows_up is not None:
+            flows = flows + flows_up
+        if is_output:
+            return flows, feats
+        h, w = flows.shape[1] * 2, flows.shape[2] * 2
+        return (flows, tf1_resize_bilinear(flows, h, w),
+                tf1_resize_bilinear(feats, h, w))
+
+    def context(flows, feats):
+        x = np.concatenate([flows, feats], axis=3)
+        specs = [(1, d, i < 6, 0.1) for i, d in
+                 enumerate([1, 2, 4, 8, 16, 1, 1])]
+        x = _conv_seq(params, "context", x, specs)
+        return flows + x
+
+    pyramid_0 = extract(images_0)
+    pyramid_1 = extract(images_1)
+    scales = [None] + [20.0 / 2 ** (num_levels - l)
+                       for l in range(1, num_levels + 1)]
+
+    flows_pyramid = []
+    flows_up = features_up = None
+    for lvl, (f0, f1) in enumerate(zip(pyramid_0, pyramid_1)):
+        if lvl == 0:
+            f1w = f1
+        else:
+            f1w = bilinear_warp(f1, flows_up * scales[lvl])
+        cv = cost_volume(f0, f1w, d=search_range)
+        if lvl < output_level:
+            flows, flows_up, features_up = estimator(
+                lvl, cv, f0, flows_up, features_up, False)
+            flows_pyramid.append(flows)
+        else:
+            flows, feats = estimator(
+                lvl, cv, f0, flows_up, features_up, True)
+            flows = context(flows, feats)
+            flows_pyramid.append(flows)
+            upscale = 2 ** (num_levels - output_level)
+            h, w = flows.shape[1] * upscale, flows.shape[2] * upscale
+            flows_final = tf1_resize_bilinear(flows, h, w) * 20.0
+            return flows_final, flows_pyramid

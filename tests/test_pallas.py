@@ -1,0 +1,63 @@
+"""Pallas fused cost-volume kernel vs the XLA reference implementation.
+
+Runs in interpreter mode on CPU (the kernel compiles for real TPU in
+bench/production paths).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwcnet_tpu.ops import cost_volume
+from pwcnet_tpu.ops.pallas import cost_volume_pallas
+
+
+def _rand(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+class TestFusedCostVolume:
+    @pytest.mark.parametrize(
+        "shape,d",
+        [
+            ((2, 8, 16, 8), 2),
+            ((1, 16, 16, 4), 4),
+            ((1, 12, 8, 3), 1),
+        ],
+    )
+    def test_matches_reference(self, rng, shape, d):
+        f0 = _rand(rng, shape)
+        f1 = _rand(rng, shape)
+        want = np.asarray(cost_volume(f0, f1, search_range=d))
+        got = np.asarray(
+            cost_volume_pallas(f0, f1, d, None, True)  # interpret=True
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_tiling_splits_h(self, rng):
+        f0 = _rand(rng, (1, 16, 8, 4))
+        f1 = _rand(rng, (1, 16, 8, 4))
+        want = np.asarray(cost_volume(f0, f1, search_range=2))
+        got = np.asarray(cost_volume_pallas(f0, f1, 2, 4, True))  # tile_h=4
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_gradients_match_reference(self, rng):
+        f0 = _rand(rng, (1, 8, 8, 4))
+        f1 = _rand(rng, (1, 8, 8, 4))
+        g = _rand(rng, (1, 8, 8, 25))
+
+        def loss_ref(a, b):
+            return jnp.sum(cost_volume(a, b, search_range=2) * g)
+
+        def loss_pal(a, b):
+            return jnp.sum(cost_volume_pallas(a, b, 2, None, True) * g)
+
+        ga_ref, gb_ref = jax.grad(loss_ref, argnums=(0, 1))(f0, f1)
+        ga_pal, gb_pal = jax.grad(loss_pal, argnums=(0, 1))(f0, f1)
+        np.testing.assert_allclose(
+            np.asarray(ga_pal), np.asarray(ga_ref), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gb_pal), np.asarray(gb_ref), rtol=1e-4, atol=1e-5
+        )
