@@ -41,6 +41,7 @@ class DataLoader:
         seed: int = 0,
         prefetch_batches: int = 2,
         normalize: bool = True,
+        use_native: str | bool = "auto",
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -50,6 +51,81 @@ class DataLoader:
         self.prefetch_batches = max(1, int(prefetch_batches))
         self.normalize = normalize
         self._rng = np.random.default_rng(seed)
+        self._native = self._native_setup(use_native)
+
+    def _native_setup(self, use_native):
+        """Enable the C++ batch assembler when the dataset qualifies:
+        PPM/.flo sample triples, no resize, uniform frame size."""
+        if not use_native or not self.normalize:
+            return None
+        ds = self.dataset
+        samples = getattr(ds, "samples", None)
+        if (
+            not samples
+            or not isinstance(samples[0], tuple)
+            or len(samples[0]) != 3
+            or not str(samples[0][0]).endswith(".ppm")
+            or not str(samples[0][2]).endswith(".flo")
+            or getattr(ds, "resize_shape", None) is not None
+            or getattr(ds, "resize_scale", None) is not None
+        ):
+            if use_native is True:
+                raise ValueError(
+                    "use_native=True but dataset is not PPM/.flo-backed "
+                    "or uses resize"
+                )
+            return None
+        try:
+            from pwcnet_tpu.data import native
+
+            native.load_library()
+        except Exception:
+            if use_native is True:
+                raise
+            return None
+        native_hw = ds._native_size()
+        crop = (
+            ds.crop_shape
+            if ds.crop_type != "none" and ds.crop_shape is not None
+            else native_hw
+        )
+        return {
+            "native": native,
+            "hw": native_hw,
+            "crop": tuple(crop),
+            "crop_type": ds.crop_type,
+            "flip": getattr(ds, "random_flip", False),
+        }
+
+    def _native_assemble(self, idxs):
+        cfg = self._native
+        ds = self.dataset
+        h, w = cfg["hw"]
+        ch, cw = cfg["crop"]
+        n = len(idxs)
+        if cfg["crop_type"] == "random" and (h, w) != (ch, cw):
+            y0s = self._rng.integers(0, h - ch + 1, n)
+            x0s = self._rng.integers(0, w - cw + 1, n)
+        elif cfg["crop_type"] == "center":
+            y0s = np.full(n, (h - ch) // 2)
+            x0s = np.full(n, (w - cw) // 2)
+        else:
+            y0s = np.zeros(n, int)
+            x0s = np.zeros(n, int)
+        flips = (
+            self._rng.integers(0, 4, n)
+            if cfg["flip"]
+            else np.zeros(n, np.uint8)
+        )
+        samples = [ds.samples[int(i)] for i in idxs]
+        return cfg["native"].load_batch(
+            samples,
+            (ch, cw),
+            y0s,
+            x0s,
+            flips,
+            num_threads=self.num_workers,
+        )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -77,6 +153,9 @@ class DataLoader:
         return images, flows
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        if self._native is not None:
+            yield from self._iter_native()
+            return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending = collections.deque()
             batches = self._batch_indices()
@@ -99,6 +178,24 @@ class DataLoader:
                         ]
                     )
                 yield self._assemble(futures)
+
+    def _iter_native(self):
+        """C++ fast path: one thread assembles batch k+1 while batch k is
+        consumed (the C++ core itself fans decoding out over threads)."""
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = collections.deque()
+            batches = self._batch_indices()
+            for _ in range(self.prefetch_batches):
+                idxs = next(batches, None)
+                if idxs is None:
+                    break
+                pending.append(pool.submit(self._native_assemble, idxs))
+            while pending:
+                fut = pending.popleft()
+                idxs = next(batches, None)
+                if idxs is not None:
+                    pending.append(pool.submit(self._native_assemble, idxs))
+                yield fut.result()
 
 
 def device_prefetch(

@@ -61,6 +61,7 @@ class FlowPredictor:
             dtype=dtype,
         )
         self.num_levels = num_levels
+        self.crop_factor = 2**num_levels
         self._params = None
         self._checkpoint = checkpoint
 
@@ -101,8 +102,8 @@ class FlowPredictor:
         Returns (flow_final (H', W', 2) np.float32 pixels, pyramid list in
         pixel units, cropped normalized frames (2, H', W', 3)).
         """
-        img0 = factor_crop(image_0)
-        img1 = factor_crop(image_1)
+        img0 = factor_crop(image_0, self.crop_factor)
+        img1 = factor_crop(image_1, self.crop_factor)
         h, w = img0.shape[:2]
         images = np.stack([img0, img1]).astype(np.float32) / 255.0
         params = self.params_for(h, w)

@@ -20,6 +20,7 @@ Pallas warp+correlation path lives in `pwcnet_tpu.ops.pallas`.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ["nearest_warp", "bilinear_warp", "warp"]
@@ -51,8 +52,18 @@ def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 
     Corner coordinates clamp to the image bounds independently; weights are
     computed from the unclamped fractional flow (clamp-to-edge at borders).
+
+    TPU formulation: instead of four separate whole-array gathers (the
+    reference's 4x tf.gather_nd, modules.py:126-129), the 2x2 corner
+    neighborhood is fetched with ONE patch gather from an edge-replicated
+    copy of ``x``. With one pad row/col on every side, indexing at
+    ``clamp(grid+floor(flow), -1, size-1) + 1`` and reading a 2-slice
+    reproduces the reference's independent corner clamping exactly:
+    - in-bounds: rows (y0, y0+1) as usual;
+    - below -1: padded row 0 == row 0 == clamp of both corners;
+    - at size-1: padded row size == row size-1 == clamp of the +1 corner.
     """
-    b, h, w, _ = x.shape
+    b, h, w, c = x.shape
     fdt = flow.dtype
     fx = flow[..., 0]
     fy = flow[..., 1]
@@ -64,22 +75,39 @@ def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     gy = jnp.arange(h, dtype=fdt)[None, :, None]
     gx = jnp.arange(w, dtype=fdt)[None, None, :]
 
-    y0 = jnp.clip(gy + fy0, 0, h - 1).astype(jnp.int32)
-    y1 = jnp.clip(gy + fy1, 0, h - 1).astype(jnp.int32)
-    x0 = jnp.clip(gx + fx0, 0, w - 1).astype(jnp.int32)
-    x1 = jnp.clip(gx + fx1, 0, w - 1).astype(jnp.int32)
+    # padded-coordinate top-left corner of the 2x2 patch
+    y0p = (jnp.clip(gy + fy0, -1, h - 1) + 1).astype(jnp.int32)
+    x0p = (jnp.clip(gx + fx0, -1, w - 1) + 1).astype(jnp.int32)
 
-    c00 = ((fy1 - fy) * (fx1 - fx))[..., None]
-    c01 = ((fy1 - fy) * (fx - fx0))[..., None]
-    c10 = ((fy - fy0) * (fx1 - fx))[..., None]
-    c11 = ((fy - fy0) * (fx - fx0))[..., None]
+    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
 
-    return (
-        c00 * _gather_2d(x, y0, x0)
-        + c01 * _gather_2d(x, y0, x1)
-        + c10 * _gather_2d(x, y1, x0)
-        + c11 * _gather_2d(x, y1, x1)
+    starts = jnp.stack(
+        [y0p.reshape(b, h * w), x0p.reshape(b, h * w)], axis=-1
+    )  # (B, N, 2)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
     )
+    patches = jax.lax.gather(
+        xe,
+        starts,
+        dimension_numbers=dnums,
+        slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )  # (B, N, 2, 2, C)
+    patches = patches.reshape(b, h, w, 2, 2, c)
+
+    wy1 = (fy - fy0)[..., None]  # weight of the +1 row
+    wy0 = (fy1 - fy)[..., None]
+    wx1 = (fx - fx0)[..., None]
+    wx0 = (fx1 - fx)[..., None]
+
+    top = patches[..., 0, 0, :] * wx0 + patches[..., 0, 1, :] * wx1
+    bot = patches[..., 1, 0, :] * wx0 + patches[..., 1, 1, :] * wx1
+    return top * wy0 + bot * wy1
 
 
 def warp(x: jnp.ndarray, flow: jnp.ndarray, warp_type: str = "bilinear") -> jnp.ndarray:

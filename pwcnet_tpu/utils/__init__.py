@@ -7,6 +7,7 @@ from pwcnet_tpu.utils.config import (
     timestamp,
 )
 from pwcnet_tpu.utils.flo_io import FLO_MAGIC, load_flow, save_flow
+from pwcnet_tpu.utils.profiling import device_timeit, flops_estimate, trace
 from pwcnet_tpu.utils.flow_viz import (
     flow_to_color,
     make_colorwheel,
@@ -22,6 +23,9 @@ __all__ = [
     "FLO_MAGIC",
     "load_flow",
     "save_flow",
+    "device_timeit",
+    "flops_estimate",
+    "trace",
     "flow_to_color",
     "make_colorwheel",
     "vis_flow",

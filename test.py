@@ -29,6 +29,15 @@ def build_parser():
                         help="# of timing iterations [1000]")
     parser.add_argument("--save_flow", type=str, default=None,
                         help="Also write the final flow as a .flo file")
+    parser.add_argument("--num_levels", type=int, default=6,
+                        help="# of levels for feature extraction [6]")
+    parser.add_argument("--search_range", type=int, default=4,
+                        help="Search range for cost-volume calculation [4]")
+    parser.add_argument("--use-dc", dest="use_dc", action="store_true")
+    parser.add_argument("--no-dc", dest="use_dc", action="store_false")
+    parser.set_defaults(use_dc=False)
+    parser.add_argument("--output_level", type=int, default=4,
+                        help="Final output level for estimated flow [4]")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (tpu/cpu) [auto]")
     return parser
@@ -52,7 +61,13 @@ def main(argv=None):
     from pwcnet_tpu.utils import save_flow as write_flo
     from pwcnet_tpu.utils import vis_flow_pyramid
 
-    predictor = FlowPredictor(checkpoint=args.resume)
+    predictor = FlowPredictor(
+        checkpoint=args.resume,
+        num_levels=args.num_levels,
+        search_range=args.search_range,
+        use_dc=args.use_dc,
+        output_level=args.output_level,
+    )
     img0 = load_image(args.input_images[0])
     img1 = load_image(args.input_images[1])
 
@@ -60,9 +75,12 @@ def main(argv=None):
 
     if args.time:
         batch = jnp.asarray(
-            np.stack([factor_crop(img0), factor_crop(img1)])[None].astype(
-                np.float32
-            )
+            np.stack(
+                [
+                    factor_crop(img0, predictor.crop_factor),
+                    factor_crop(img1, predictor.crop_factor),
+                ]
+            )[None].astype(np.float32)
             / 255.0
         )
         out = predictor.raw_forward(batch)  # warm-up/compile

@@ -22,6 +22,15 @@ def build_parser():
                         required=True, help="Target images (required)")
     parser.add_argument("-r", "--resume", type=str, default=None,
                         help="Learned parameter checkpoint file [None]")
+    parser.add_argument("--num_levels", type=int, default=6,
+                        help="# of levels for feature extraction [6]")
+    parser.add_argument("--search_range", type=int, default=4,
+                        help="Search range for cost-volume calculation [4]")
+    parser.add_argument("--use-dc", dest="use_dc", action="store_true")
+    parser.add_argument("--no-dc", dest="use_dc", action="store_false")
+    parser.set_defaults(use_dc=False)
+    parser.add_argument("--output_level", type=int, default=4,
+                        help="Final output level for estimated flow [4]")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (tpu/cpu) [auto]")
     return parser
@@ -60,7 +69,13 @@ def main(argv=None):
     from pwcnet_tpu.inference import FlowPredictor, load_image
     from pwcnet_tpu.utils import vis_flow_pyramid
 
-    predictor = FlowPredictor(checkpoint=args.resume)
+    predictor = FlowPredictor(
+        checkpoint=args.resume,
+        num_levels=args.num_levels,
+        search_range=args.search_range,
+        use_dc=args.use_dc,
+        output_level=args.output_level,
+    )
     os.makedirs("./test_figure", exist_ok=True)
 
     pairs = zip(args.input_images[:-1], args.input_images[1:])

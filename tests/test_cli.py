@@ -1,0 +1,114 @@
+"""End-to-end CLI smoke tests (in-process, tiny model configs, CPU).
+
+Drives the real public surfaces: train.py (Synthetic dataset, 1 epoch),
+test.py (pair inference + .flo out), test_continuous.py (wildcard
+sequence), evaluate.py. Uses num_levels=3 configs so CPU compiles stay in
+the tens of seconds.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, "/root/repo")  # CLIs live at the repo root
+
+import test as test_cli  # noqa: E402
+import test_continuous as cont_cli  # noqa: E402
+import train as train_cli  # noqa: E402
+
+
+@pytest.fixture
+def frames(tmp_path):
+    rng = np.random.default_rng(0)
+    base = np.kron(rng.random((8, 8, 3)), np.ones((4, 4, 1)))[:32, :32]
+    img = (base * 255).astype(np.uint8)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"frame_{i + 1:04d}.png"
+        Image.fromarray(np.roll(img, shift=(-i, -2 * i), axis=(0, 1))).save(p)
+        paths.append(p)
+    return paths
+
+
+TINY_MODEL = ["--num_levels", "3", "--search_range", "2",
+              "--output_level", "1"]
+
+
+class TestTrainCLI:
+    def test_synthetic_one_epoch(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        train_cli.main(
+            ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
+             "--crop_type", "none", "--no-visualize", "--log_interval", "2",
+             "--lr", "1e-4"] + TINY_MODEL
+        )
+        logs = list((tmp_path / "logs").glob("history_*"))
+        assert len(logs) == 1
+        assert (logs[0] / "model" / "model_1.msgpack").exists()
+        assert (logs[0] / "config.json").exists()
+        metrics = (logs[0] / "train" / "metrics.jsonl").read_text()
+        assert "EPE/source" in metrics
+
+    def test_resume_from_checkpoint(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        args = ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
+                "--crop_type", "none", "--no-visualize"] + TINY_MODEL
+        train_cli.main(args)
+        ckpt = next((tmp_path / "logs").glob("history_*/model/model_1.msgpack"))
+        train_cli.main(args + ["-r", str(ckpt)])
+
+
+class TestTestCLI:
+    def test_pair_inference_with_flo_output(self, frames, tmp_path,
+                                            monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        test_cli.main(
+            ["--input_images", str(frames[0]), str(frames[1]),
+             "--save_flow", "out.flo"] + TINY_MODEL
+        )
+        from pwcnet_tpu.utils import load_flow
+
+        flow = load_flow(tmp_path / "out.flo")
+        assert flow.shape == (32, 32, 2)
+        figs = list((tmp_path / "test_figure").glob("*.pdf"))
+        assert len(figs) == 1
+
+    def test_timing_flag(self, frames, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        test_cli.main(
+            ["--input_images", str(frames[0]), str(frames[1]),
+             "--time", "--iters", "3"] + TINY_MODEL
+        )
+        assert "Inference time:" in capsys.readouterr().out
+
+
+class TestContinuousCLI:
+    def test_wildcard_sequence(self, frames, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        pattern = str(tmp_path / "frame_*.png")
+        cont_cli.main(["-i", pattern] + TINY_MODEL)
+        out = list((tmp_path / "test_figure").rglob("*.png"))
+        assert len(out) == 2  # 3 frames -> 2 pairs
+
+    def test_expand_wildcards(self, frames):
+        got = cont_cli.expand_wildcards([str(frames[0].parent / "*.png")])
+        assert [str(f) for f in frames] == got
+
+    def test_requires_two_images(self, frames):
+        with pytest.raises(ValueError):
+            cont_cli.main(["-i", str(frames[0])])
+
+
+class TestEvaluateCLI:
+    def test_synthetic_eval(self, tmp_path, monkeypatch, capsys):
+        import evaluate as eval_cli
+
+        monkeypatch.chdir(tmp_path)
+        eval_cli.main(
+            ["-d", "Synthetic", "-dd", ".", "--split", "val", "-b", "4",
+             "--crop_type", "none"] + TINY_MODEL
+        )
+        out = capsys.readouterr().out
+        assert "mean EPE" in out

@@ -191,3 +191,49 @@ class TestLoader:
         loader = DataLoader(ds, batch_size=8)
         (images, flows) = next(device_prefetch(iter(loader), sharding=sharding))
         assert images.sharding.is_equivalent_to(sharding, images.ndim)
+
+
+class TestNativeLoaderPath:
+    def test_flyingchairs_uses_native_and_matches_python(self, tmp_path):
+        pytest.importorskip("pwcnet_tpu.data.native")
+        from pwcnet_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        _make_chairs(tmp_path, n=8, hw=(24, 32))
+        ds = FlyingChairs(
+            "train", tmp_path, crop_type="center", crop_shape=(16, 20)
+        )
+        fast = DataLoader(ds, batch_size=4, use_native=True)
+        slow = DataLoader(ds, batch_size=4, use_native=False)
+        (fi, ff) = next(iter(fast))
+        (si, sf) = next(iter(slow))
+        assert fast._native is not None and slow._native is None
+        np.testing.assert_allclose(fi, si, atol=1e-6)
+        np.testing.assert_allclose(ff, sf, atol=1e-6)
+
+    def test_native_rejected_for_png_dataset(self, tmp_path):
+        _make_sintel(tmp_path)
+        ds = SintelClean(
+            "train", tmp_path, crop_type="random", crop_shape=(24, 32)
+        )
+        loader = DataLoader(ds, batch_size=2, use_native="auto")
+        assert loader._native is None
+        with pytest.raises(ValueError):
+            DataLoader(ds, batch_size=2, use_native=True)
+
+    def test_native_full_epoch_batch_count(self, tmp_path):
+        pytest.importorskip("pwcnet_tpu.data.native")
+        from pwcnet_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        _make_chairs(tmp_path, n=10, hw=(24, 32))
+        ds = FlyingChairs(
+            "train", tmp_path, crop_type="random", crop_shape=(16, 16)
+        )
+        loader = DataLoader(ds, batch_size=4, shuffle=True, use_native=True)
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0][0].shape == (4, 2, 16, 16, 3)
+        assert batches[0][0].max() <= 1.0
