@@ -94,12 +94,25 @@ class Trainer:
 
     def _build_model(self):
         args = self.args
+        cv_fn = None
+        if getattr(args, "pallas", False):
+            if self.mesh.shape.get("spatial", 1) > 1:
+                print(
+                    "note: --pallas disabled (spatially sharded inputs are "
+                    "handled by the XLA cost volume, which GSPMD can "
+                    "partition with halo exchange)"
+                )
+            else:
+                from pwcnet_tpu.ops.pallas import cost_volume_pallas
+
+                cv_fn = cost_volume_pallas
         self.model = PWCDCNet(
             num_levels=args.num_levels,
             search_range=args.search_range,
             warp_type=args.warp_type,
             use_dc=args.use_dc,
             output_level=args.output_level,
+            cost_volume_fn=cv_fn,
         )
         h, w = self.image_size
         self.state = create_train_state(
@@ -144,9 +157,39 @@ class Trainer:
             jax.device_put(flows, self.batch_shardings[1]),
         )
 
+    def _install_preemption_handler(self):
+        """Save a resumable full-state checkpoint on SIGTERM/SIGINT.
+
+        The reference loses up to a full epoch on preemption (its only
+        checkpoints are per-epoch, train.py:164-166); here the current
+        TrainState is flushed to ./model/model_preempt.msgpack before
+        exiting, and --resume restores it mid-epoch (incl. the LR step).
+        """
+        import signal
+
+        self._preempted = False
+
+        def _handler(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _handler)
+            except ValueError:  # not the main thread
+                break
+
+    def _handle_preemption(self) -> bool:
+        if not getattr(self, "_preempted", False):
+            return False
+        os.makedirs("./model", exist_ok=True)
+        path = save_checkpoint("./model/model_preempt.msgpack", self.state)
+        print(f"\npreempted: state saved to {path} (step {int(self.state.step)})")
+        return True
+
     def train(self):
         args = self.args
         log_interval = getattr(args, "log_interval", 1000)
+        self._install_preemption_handler()
         for epoch in range(args.num_epochs):
             # -- training ------------------------------------------------
             last_metrics = None
@@ -158,6 +201,8 @@ class Trainer:
                     self.state, images, flows_gt
                 )
                 last_metrics = metrics
+                if self._handle_preemption():
+                    return self.state
                 g_step = int(self.state.step)
                 if g_step % log_interval == 0:
                     self.tlogger.log(

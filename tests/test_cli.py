@@ -112,3 +112,48 @@ class TestEvaluateCLI:
         )
         out = capsys.readouterr().out
         assert "mean EPE" in out
+
+
+class TestPreemption:
+    def test_sigterm_saves_resumable_checkpoint(self, tmp_path, monkeypatch):
+        """Simulated preemption mid-epoch saves a full-state checkpoint."""
+        import signal
+
+        monkeypatch.chdir(tmp_path)
+        from pwcnet_tpu.train_lib.trainer import Trainer
+
+        args = train_cli.build_parser().parse_args(
+            ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
+             "--crop_type", "none", "--no-visualize"] + TINY_MODEL
+        )
+        args.pallas = False
+        trainer = Trainer(args)
+
+        orig_step = trainer.train_step
+        calls = {"n": 0}
+
+        def stepper(state, images, flows):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                trainer._preempted = True  # as the signal handler would
+            return orig_step(state, images, flows)
+
+        trainer.train_step = stepper
+        trainer.train()
+        assert (tmp_path / "model" / "model_preempt.msgpack").exists()
+        assert calls["n"] == 2  # stopped right after the flagged step
+
+        # resume continues from the preempted step
+        from pwcnet_tpu.train_lib import restore_checkpoint
+        from pwcnet_tpu.train_lib.step import create_train_state
+        from pwcnet_tpu.models import PWCDCNet
+        import jax
+
+        model = PWCDCNet(num_levels=3, output_level=1, search_range=2)
+        fresh = create_train_state(
+            model, jax.random.PRNGKey(0), (1, 64, 64, 3)
+        )
+        restored = restore_checkpoint(
+            tmp_path / "model" / "model_preempt.msgpack", fresh
+        )
+        assert int(restored.step) == 2

@@ -230,3 +230,20 @@ class TestBundleRoundtrip:
         dst.write_bytes(src.read_bytes())
         with pytest.raises(FileNotFoundError, match="data"):
             tfc.read_tf_checkpoint(tmp_path / "model_600.ckpt")
+
+
+class TestConverterCLI:
+    def test_check_only_lists_model_tree(self, capsys):
+        if not REF_INDEXES[0].exists():
+            pytest.skip("reference index not present")
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import convert_checkpoint
+
+        convert_checkpoint.main(
+            [str(REF_INDEXES[0]), "/dev/null", "--check-only"]
+        )
+        out = capsys.readouterr().out
+        assert "110 model tensors" in out
+        assert "pwcdcnet/fp_extractor/conv2d/kernel  (3, 3, 3, 16)" in out

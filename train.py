@@ -100,6 +100,11 @@ def build_parser():
                         help="Force a JAX platform (tpu/cpu) [auto]")
     parser.add_argument("--spatial", type=int, default=1,
                         help="Mesh size of the spatial (H) axis [1]")
+    parser.add_argument("--pallas", dest="pallas", action="store_true",
+                        help="Use the fused Pallas cost-volume kernel "
+                        "(TPU only)")
+    parser.add_argument("--no-pallas", dest="pallas", action="store_false")
+    parser.set_defaults(pallas=None)  # auto: on for TPU, off for CPU
     return parser
 
 
@@ -117,6 +122,10 @@ def main(argv=None):
 
     from pwcnet_tpu.train_lib.trainer import Trainer
 
+    if args.pallas is None:
+        import jax
+
+        args.pallas = jax.devices()[0].platform not in ("cpu",)
     trainer = Trainer(args, spatial=args.spatial)
     trainer.train()
 
