@@ -47,21 +47,11 @@ def nearest_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return _gather_2d(x, yi, xi)
 
 
-def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear warp of ``x`` by ``flow``: out(p) = x(p + flow(p)).
+def _warp_patches(x: jnp.ndarray, flow: jnp.ndarray):
+    """Shared forward machinery: 2x2 corner patches + lerp weights.
 
-    Corner coordinates clamp to the image bounds independently; weights are
-    computed from the unclamped fractional flow (clamp-to-edge at borders).
-
-    TPU formulation: instead of four separate whole-array gathers (the
-    reference's 4x tf.gather_nd, modules.py:126-129), the 2x2 corner
-    neighborhood is fetched with ONE patch gather from an edge-replicated
-    copy of ``x``. With one pad row/col on every side, indexing at
-    ``clamp(grid+floor(flow), -1, size-1) + 1`` and reading a 2-slice
-    reproduces the reference's independent corner clamping exactly:
-    - in-bounds: rows (y0, y0+1) as usual;
-    - below -1: padded row 0 == row 0 == clamp of both corners;
-    - at size-1: padded row size == row size-1 == clamp of the +1 corner.
+    Returns (patches (B,H,W,2,2,C), wy0, wy1, wx0, wx1 each (B,H,W,1),
+    y0p, x0p padded top-left corner indices).
     """
     b, h, w, c = x.shape
     fdt = flow.dtype
@@ -69,8 +59,6 @@ def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     fy = flow[..., 1]
     fx0 = jnp.floor(fx)
     fy0 = jnp.floor(fy)
-    fx1 = fx0 + 1
-    fy1 = fy0 + 1
 
     gy = jnp.arange(h, dtype=fdt)[None, :, None]
     gx = jnp.arange(w, dtype=fdt)[None, None, :]
@@ -97,17 +85,103 @@ def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         dimension_numbers=dnums,
         slice_sizes=(1, 2, 2, c),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )  # (B, N, 2, 2, C)
-    patches = patches.reshape(b, h, w, 2, 2, c)
+    ).reshape(b, h, w, 2, 2, c)
 
     wy1 = (fy - fy0)[..., None]  # weight of the +1 row
-    wy0 = (fy1 - fy)[..., None]
+    wy0 = 1.0 - wy1
     wx1 = (fx - fx0)[..., None]
-    wx0 = (fx1 - fx)[..., None]
+    wx0 = 1.0 - wx1
+    return patches, wy0, wy1, wx0, wx1, y0p, x0p
 
+
+@jax.custom_vjp
+def bilinear_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear warp of ``x`` by ``flow``: out(p) = x(p + flow(p)).
+
+    Corner coordinates clamp to the image bounds independently; weights are
+    computed from the unclamped fractional flow (clamp-to-edge at borders).
+
+    TPU formulation: instead of four separate whole-array gathers (the
+    reference's 4x tf.gather_nd, modules.py:126-129), the 2x2 corner
+    neighborhood is fetched with ONE patch gather from an edge-replicated
+    copy of ``x``. With one pad row/col on every side, indexing at
+    ``clamp(grid+floor(flow), -1, size-1) + 1`` and reading a 2-slice
+    reproduces the reference's independent corner clamping exactly:
+    - in-bounds: rows (y0, y0+1) as usual;
+    - below -1: padded row 0 == row 0 == clamp of both corners;
+    - at size-1: padded row size == row size-1 == clamp of the +1 corner.
+
+    A custom VJP replaces the autodiff transpose of the patch gather —
+    XLA lowers that to a (1,2,2,C)-slice scatter that is ~20x slower on
+    TPU than the equivalent four row-scatters used here.
+    """
+    return _bilinear_warp_impl(x, flow)
+
+
+def _bilinear_warp_impl(x, flow):
+    patches, wy0, wy1, wx0, wx1, _, _ = _warp_patches(x, flow)
     top = patches[..., 0, 0, :] * wx0 + patches[..., 0, 1, :] * wx1
     bot = patches[..., 1, 0, :] * wx0 + patches[..., 1, 1, :] * wx1
     return top * wy0 + bot * wy1
+
+
+def _bilinear_warp_fwd(x, flow):
+    return _bilinear_warp_impl(x, flow), (x, flow)
+
+
+def _bilinear_warp_bwd(res, g):
+    """Exact gradients.
+
+    - d/dflow goes through the lerp weights only (corner indices are
+      integer casts, zero-gradient — TF semantics).
+    - d/dx is the transpose of the patch gather: four row-scatters into
+      the (H+2, W+2) padded grid, whose border rows/cols then fold back
+      onto the edge rows/cols they replicate (exactly matching the
+      forward's corner clamping).
+    """
+    x, flow = res
+    b, h, w, c = x.shape
+    patches, wy0, wy1, wx0, wx1, y0p, x0p = _warp_patches(x, flow)
+
+    # -- dflow (B, H, W, 2)
+    top_dx = patches[..., 0, 1, :] - patches[..., 0, 0, :]
+    bot_dx = patches[..., 1, 1, :] - patches[..., 1, 0, :]
+    dfx = jnp.sum(g * (wy0 * top_dx + wy1 * bot_dx), axis=-1)
+    left_dy = patches[..., 1, 0, :] - patches[..., 0, 0, :]
+    right_dy = patches[..., 1, 1, :] - patches[..., 0, 1, :]
+    dfy = jnp.sum(g * (wx0 * left_dy + wx1 * right_dy), axis=-1)
+    dflow = jnp.stack([dfx, dfy], axis=-1).astype(flow.dtype)
+
+    # -- dx: scatter-add the four weighted corner contributions
+    wp = w + 2
+    batch_ix = jnp.arange(b, dtype=jnp.int32)[:, None]
+    dxp = jnp.zeros((b, (h + 2) * wp, c), g.dtype)
+    for di, dj, wgt in (
+        (0, 0, wy0 * wx0),
+        (0, 1, wy0 * wx1),
+        (1, 0, wy1 * wx0),
+        (1, 1, wy1 * wx1),
+    ):
+        idx = ((y0p + di) * wp + (x0p + dj)).reshape(b, h * w)
+        dxp = dxp.at[batch_ix, idx].add(
+            (wgt * g).reshape(b, h * w, c),
+            mode="promise_in_bounds",
+        )
+    dxp = dxp.reshape(b, h + 2, wp, c)
+    # fold replicated border rows/cols back onto the true edges
+    rows = dxp[:, 1 : h + 1]
+    rows = rows.at[:, 0].add(dxp[:, 0]).at[:, h - 1].add(dxp[:, h + 1])
+    dx = rows[:, :, 1 : w + 1]
+    dx = (
+        dx.at[:, :, 0]
+        .add(rows[:, :, 0])
+        .at[:, :, w - 1]
+        .add(rows[:, :, w + 1])
+    ).astype(x.dtype)
+    return dx, dflow
+
+
+bilinear_warp.defvjp(_bilinear_warp_fwd, _bilinear_warp_bwd)
 
 
 def warp(x: jnp.ndarray, flow: jnp.ndarray, warp_type: str = "bilinear") -> jnp.ndarray:

@@ -147,3 +147,74 @@ class TestCostVolume:
         )
         act = np.asarray(ops.cost_volume(jnp.asarray(f0), jnp.asarray(f1), 2))
         np.testing.assert_allclose(act, oracles.leaky_relu(raw, 0.1), rtol=1e-6)
+
+
+class TestWarpCustomVJP:
+    def _plain_warp(self, x, flow):
+        """Autodiff reference: direct 4-gather formulation."""
+        b, h, w, c = x.shape
+        fx, fy = flow[..., 0], flow[..., 1]
+        fx0, fy0 = jnp.floor(fx), jnp.floor(fy)
+        fx1, fy1 = fx0 + 1, fy0 + 1
+        gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+        gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+        y0 = jnp.clip(gy + fy0, 0, h - 1).astype(jnp.int32)
+        y1 = jnp.clip(gy + fy1, 0, h - 1).astype(jnp.int32)
+        x0 = jnp.clip(gx + fx0, 0, w - 1).astype(jnp.int32)
+        x1 = jnp.clip(gx + fx1, 0, w - 1).astype(jnp.int32)
+
+        def gat(yi, xi):
+            flat = x.reshape(b, h * w, c)
+            idx = (yi * w + xi).reshape(b, h * w, 1)
+            return jnp.take_along_axis(flat, idx, axis=1).reshape(b, h, w, c)
+
+        c00 = ((fy1 - fy) * (fx1 - fx))[..., None]
+        c01 = ((fy1 - fy) * (fx - fx0))[..., None]
+        c10 = ((fy - fy0) * (fx1 - fx))[..., None]
+        c11 = ((fy - fy0) * (fx - fx0))[..., None]
+        return (c00 * gat(y0, x0) + c01 * gat(y0, x1)
+                + c10 * gat(y1, x0) + c11 * gat(y1, x1))
+
+    @pytest.mark.parametrize("scale", [0.5, 3.0, 50.0])
+    def test_grads_match_plain_autodiff(self, rng, scale):
+        x = jnp.asarray(rng.standard_normal((2, 7, 9, 5)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((2, 7, 9, 2)) * scale).astype(np.float32)
+        )
+        g = jnp.asarray(rng.standard_normal((2, 7, 9, 5)).astype(np.float32))
+
+        def loss_custom(a, f):
+            return jnp.sum(ops.bilinear_warp(a, f) * g)
+
+        def loss_plain(a, f):
+            return jnp.sum(self._plain_warp(a, f) * g)
+
+        gx_c, gf_c = jax.grad(loss_custom, argnums=(0, 1))(x, flow)
+        gx_p, gf_p = jax.grad(loss_plain, argnums=(0, 1))(x, flow)
+        np.testing.assert_allclose(
+            np.asarray(gx_c), np.asarray(gx_p), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gf_c), np.asarray(gf_p), rtol=1e-4, atol=1e-4
+        )
+
+    def test_integer_flow_boundary_grads(self, rng):
+        """Exactly-integer flow at borders exercises the clamp/fold path."""
+        x = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+        flow = jnp.asarray(
+            np.tile(np.array([2.0, -3.0], np.float32), (1, 4, 4, 1))
+        )
+        g = jnp.ones((1, 4, 4, 2), jnp.float32)
+
+        def loss_custom(a):
+            return jnp.sum(ops.bilinear_warp(a, flow) * g)
+
+        def loss_plain(a):
+            return jnp.sum(self._plain_warp(a, flow) * g)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_custom)(x)),
+            np.asarray(jax.grad(loss_plain)(x)),
+            rtol=1e-5,
+            atol=1e-5,
+        )
