@@ -130,18 +130,169 @@ def _cv_fwd(f0, f1, search_range, tile_h, interpret):
     out = _cv_forward(
         f0, f1, d=search_range, tile_h=tile_h, interpret=interpret
     )
-    return out, (f0, f1)
+    # LeakyReLU preserves sign, so the activated output doubles as the
+    # pre-activation sign residual for the backward pass.
+    return out, (f0, f1, out)
+
+
+# ------------------------------------------------------------- backward
+def _cv_bwd_df0_kernel(gt_ref, f1p_ref, out_ref, *, d: int):
+    """df0[p, c] = sum_t gt[p, t] * f1[p + off_t, c].
+
+    gt_ref:  (1, TH, T, W)        VMEM tile (T = (2d+1)^2 taps)
+    f1p_ref: (1, H+2d, C, W+2d)   VMEM full (constant block across tiles)
+    out_ref: (1, TH, C, W)        VMEM tile
+    """
+    i = pl.program_id(1)
+    th = out_ref.shape[1]
+    w = out_ref.shape[3]
+    n = 2 * d + 1
+    row0 = i * th
+
+    # fori_loop over the vertical taps keeps the VMEM stack footprint at
+    # one stripe (full 81-tap unrolling OOMs scoped vmem at fine levels).
+    def body(v, acc):
+        stripe = f1p_ref[0, pl.ds(row0 + v, th), :, :]  # (TH, C, W+2d)
+        for u in range(n):
+            g_plane = gt_ref[0, :, pl.ds(v * n + u, 1), :]  # (TH, 1, W)
+            acc = acc + (
+                g_plane.astype(jnp.float32)
+                * stripe[:, :, u : u + w].astype(jnp.float32)
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n, body, jnp.zeros(out_ref.shape[1:], jnp.float32)
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _cv_bwd_df1_kernel(gtp_ref, f0p_ref, out_ref, *, d: int):
+    """df1[q, c] = sum_t gt[q - off_t, t] * f0[q - off_t, c].
+
+    gtp_ref: (1, H+2d, T, W+2d)   VMEM full, zero-padded by d
+    f0p_ref: (1, H+2d, C, W+2d)   VMEM full, zero-padded by d
+    out_ref: (1, TH, C, W)        VMEM tile
+    """
+    i = pl.program_id(1)
+    th = out_ref.shape[1]
+    w = out_ref.shape[3]
+    n = 2 * d + 1
+    row0 = i * th
+
+    def body(v, acc):
+        # source row p = q - (v - d)  ->  padded index q + 2d - v
+        rows = pl.ds(row0 + 2 * d - v, th)
+        f_stripe = f0p_ref[0, rows, :, :]  # (TH, C, W+2d)
+        g_stripe = gtp_ref[0, rows, pl.ds(v * n, n), :]  # (TH, n, W+2d)
+        for u in range(n):
+            cols = slice(2 * d - u, 2 * d - u + w)
+            g_plane = g_stripe[:, u, cols]  # (TH, W)
+            acc = acc + (
+                g_plane[:, None, :].astype(jnp.float32)
+                * f_stripe[:, :, cols].astype(jnp.float32)
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n, body, jnp.zeros(out_ref.shape[1:], jnp.float32)
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _bwd_vmem_bytes(b, h, w, c, d):
+    """Rough VMEM demand of the df1 kernel's full blocks (bytes, f32)."""
+    taps = (2 * d + 1) ** 2
+    full = (h + 2 * d) * (w + 2 * d) * (taps + c) * 4
+    return full
 
 
 def _cv_bwd(search_range, tile_h, interpret, res, g):
-    """Backward as XLA shift-correlations (zero-pad boundary semantics).
+    """Backward via two Pallas correlation kernels (same VMEM-resident
+    layout as the forward); falls back to XLA shift ops when the full
+    blocks would not fit VMEM.
 
     raw[..., t] = <f0, shift(f1, v, u)> / C ; out = leaky(raw)
     df0 = sum_t g_t * leaky'(raw_t) * shift(f1, v, u) / C
     df1[p] = sum_t (g_t * leaky')(p - (v,u)) * f0(p - (v,u)) / C
     """
-    f0, f1 = res
+    f0, f1, out = res
     d = search_range
+    b, h, w, c = f0.shape
+    th = tile_h or _round_tile(h)
+    n_taps = 2 * d + 1
+
+    if _bwd_vmem_bytes(b, h, w, c, d) > 12 * 1024 * 1024:
+        return _cv_bwd_xla(f0, f1, g, d)
+
+    # gt = g * leaky'(raw) / C; sign(out) == sign(raw)
+    gt = g * _leaky_grad(out).astype(g.dtype) * jnp.asarray(1.0 / c, g.dtype)
+    gt_t = jnp.transpose(gt, (0, 1, 3, 2))  # (B, H, T, W)
+
+    f1p_t = jnp.transpose(
+        jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)
+    )
+    grid = (b, h // th)
+    df0 = pl.pallas_call(
+        functools.partial(_cv_bwd_df0_kernel, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, n_taps * n_taps, w),
+                lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h + 2 * d, c, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, c, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, c, w), f0.dtype),
+        interpret=interpret,
+    )(gt_t, f1p_t)
+
+    gtp_t = jnp.pad(gt_t, ((0, 0), (d, d), (0, 0), (d, d)))
+    f0p_t = jnp.transpose(
+        jnp.pad(f0, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)
+    )
+    df1 = pl.pallas_call(
+        functools.partial(_cv_bwd_df1_kernel, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + 2 * d, n_taps * n_taps, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h + 2 * d, c, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, c, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, c, w), f0.dtype),
+        interpret=interpret,
+    )(gtp_t, f0p_t)
+
+    return (
+        jnp.transpose(df0, (0, 1, 3, 2)),
+        jnp.transpose(df1, (0, 1, 3, 2)),
+    )
+
+
+def _cv_bwd_xla(f0, f1, g, d):
+    """XLA shift-op fallback (zero-pad boundary semantics)."""
     b, h, w, c = f0.shape
     inv_c = jnp.asarray(1.0 / c, f0.dtype)
     f1p = jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0)))

@@ -61,3 +61,23 @@ class TestFusedCostVolume:
         np.testing.assert_allclose(
             np.asarray(gb_pal), np.asarray(gb_ref), rtol=1e-4, atol=1e-5
         )
+
+
+class TestFusedCostVolumeBackwardPaths:
+    def test_xla_fallback_matches_pallas_bwd(self, rng):
+        """Both backward paths must agree (the fallback triggers on large
+        shapes; here it is invoked directly)."""
+        from pwcnet_tpu.ops.pallas import cost_volume as cvp
+
+        f0 = _rand(rng, (1, 8, 8, 4))
+        f1 = _rand(rng, (1, 8, 8, 4))
+        g = _rand(rng, (1, 8, 8, 25))
+        out = cvp._cv_forward(f0, f1, d=2, tile_h=None, interpret=True)
+        da0, da1 = cvp._cv_bwd(2, None, True, (f0, f1, out), g)
+        dx0, dx1 = cvp._cv_bwd_xla(f0, f1, g, 2)
+        np.testing.assert_allclose(
+            np.asarray(da0), np.asarray(dx0), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(da1), np.asarray(dx1), rtol=1e-5, atol=1e-6
+        )
