@@ -42,7 +42,12 @@ class DataLoader:
         prefetch_batches: int = 2,
         normalize: bool = True,
         use_native: str | bool = "auto",
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is per-process; in multi-host training each
+        process takes a disjoint, deterministic 1/process_count slice of
+        every (identically shuffled) epoch order."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
@@ -50,6 +55,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch_batches = max(1, int(prefetch_batches))
         self.normalize = normalize
+        if not 0 <= process_index < process_count:
+            raise ValueError(
+                f"process_index {process_index} not in [0, {process_count})"
+            )
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
         self._rng = np.random.default_rng(seed)
         self._native = self._native_setup(use_native)
 
@@ -127,8 +138,12 @@ class DataLoader:
             num_threads=self.num_workers,
         )
 
-    def __len__(self) -> int:
+    def _local_count(self) -> int:
         n = len(self.dataset)
+        return len(range(self.process_index, n, self.process_count))
+
+    def __len__(self) -> int:
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -137,6 +152,8 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index :: self.process_count]
         bs = self.batch_size
         end = len(order) - (len(order) % bs) if self.drop_last else len(order)
         for i in range(0, end, bs):

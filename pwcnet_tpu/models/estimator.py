@@ -4,8 +4,9 @@
   (modules.py:227-285): concat(cv, features_0, flows_up_prev,
   features_up_prev — skipping absent inputs), 5 convs [128,128,96,64,32]
   with LeakyReLU(0.1) and optional dense connections, a 2-channel flow conv,
-  residual add of the upsampled previous flow, and (at non-output levels)
-  TF1-bilinear 2x upsampling of flow and features.
+  and a residual add of the upsampled previous flow. The reference's
+  in-estimator 2x upsampling (modules.py:282-285) is hoisted into PWCDCNet
+  so this module stays jax.checkpoint-able.
 - `FlowEstimatorLegacy` mirrors `OpticalFlowEstimator` (modules.py:208-224):
   conv blocks with LeakyReLU(0.2) and optional BatchNorm.
 
@@ -20,7 +21,6 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pwcnet_tpu.ops.resize import upsample2x_bilinear
 
 DEFAULT_EST_FILTERS = (128, 128, 96, 64, 32)
 
@@ -44,8 +44,11 @@ class FlowEstimator(nn.Module):
         features_0: Optional[jnp.ndarray] = None,
         flows_up_prev: Optional[jnp.ndarray] = None,
         features_up_prev: Optional[jnp.ndarray] = None,
-        is_output: bool = False,
     ):
+        """Returns ``(flows, features)``; the caller upsamples both by 2x
+        at non-output levels (the reference folded that upsampling into the
+        estimator, modules.py:282-285 — hoisting it keeps this module free
+        of boolean-shaped control flow so it can be jax.checkpoint-ed)."""
         features = cv
         for extra in (features_0, flows_up_prev, features_up_prev):
             if extra is not None:
@@ -79,12 +82,7 @@ class FlowEstimator(nn.Module):
         )(features)
         if flows_up_prev is not None:
             flows = flows + flows_up_prev  # residual coarse-to-fine refinement
-
-        if is_output:
-            return flows, features
-        flows_up = upsample2x_bilinear(flows)
-        features_up = upsample2x_bilinear(features)
-        return flows, flows_up, features_up
+        return flows, features
 
 
 class FlowEstimatorLegacy(nn.Module):

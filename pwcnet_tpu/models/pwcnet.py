@@ -41,7 +41,7 @@ from pwcnet_tpu.models.pyramid import (
     FeaturePyramidExtractorLegacy,
 )
 from pwcnet_tpu.ops.cost_volume import cost_volume
-from pwcnet_tpu.ops.resize import resize_bilinear
+from pwcnet_tpu.ops.resize import resize_bilinear, upsample2x_bilinear
 from pwcnet_tpu.ops.warp import warp
 
 
@@ -65,12 +65,23 @@ class PWCDCNet(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     cost_volume_fn: Any = None  # override (e.g. Pallas fused kernel)
+    remat: bool = False  # rematerialize estimators/context in the backward
 
     def setup(self):
         assert self.output_level < self.num_levels, (
             "Should set output_level < num_levels"
         )
-        self.fp_extractor = FeaturePyramidExtractor(
+        fp_cls = FeaturePyramidExtractor
+        est_cls = FlowEstimator
+        ctx_cls = ContextNetwork
+        if self.remat:
+            # trade FLOPs for HBM: recompute the estimator/context/pyramid
+            # activations in the backward pass (jax.checkpoint), enabling
+            # much larger crops/batches per chip
+            fp_cls = nn.remat(fp_cls)
+            est_cls = nn.remat(est_cls)
+            ctx_cls = nn.remat(ctx_cls)
+        self.fp_extractor = fp_cls(
             num_levels=self.num_levels,
             dtype=self.dtype,
             precision=self.precision,
@@ -81,7 +92,7 @@ class PWCDCNet(nn.Module):
         # ever called, so deeper ones contribute no parameters — matching
         # the reference checkpoints, which have no optflow_5 variables.
         self.of_estimators = [
-            FlowEstimator(
+            est_cls(
                 use_dc=self.use_dc,
                 dtype=self.dtype,
                 precision=self.precision,
@@ -89,7 +100,7 @@ class PWCDCNet(nn.Module):
             )
             for l in range(self.num_levels)
         ]
-        self.context_net = ContextNetwork(
+        self.context_net = ctx_cls(
             dtype=self.dtype, precision=self.precision, name="context"
         )
 
@@ -130,15 +141,14 @@ class PWCDCNet(nn.Module):
 
             cv = cv_fn(f0, f1_warped, self.search_range)
 
+            flows, features = self.of_estimators[l](
+                cv, f0, flows_up, features_up
+            )
             if l < self.output_level:
-                flows, flows_up, features_up = self.of_estimators[l](
-                    cv, f0, flows_up, features_up
-                )
+                flows_up = upsample2x_bilinear(flows)
+                features_up = upsample2x_bilinear(features)
                 flows_pyramid.append(flows)
             else:
-                flows, features = self.of_estimators[l](
-                    cv, f0, flows_up, features_up, is_output=True
-                )
                 flows = self.context_net(flows, features)
                 flows_pyramid.append(flows)
                 upscale = 2 ** (self.num_levels - self.output_level)

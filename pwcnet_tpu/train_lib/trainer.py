@@ -88,6 +88,8 @@ class Trainer:
             batch_size=args.batch_size,
             num_workers=args.num_workers,
             drop_last=True,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         self.tloader = DataLoader(tset, shuffle=True, **loader_args)
         self.vloader = DataLoader(vset, shuffle=False, **loader_args)
@@ -113,6 +115,7 @@ class Trainer:
             use_dc=args.use_dc,
             output_level=args.output_level,
             cost_volume_fn=cv_fn,
+            remat=getattr(args, "remat", False),
         )
         h, w = self.image_size
         self.state = create_train_state(

@@ -237,3 +237,28 @@ class TestNativeLoaderPath:
         assert len(batches) == 2
         assert batches[0][0].shape == (4, 2, 16, 16, 3)
         assert batches[0][0].max() <= 1.0
+
+
+class TestMultiHostSharding:
+    def test_disjoint_full_coverage(self):
+        ds = SyntheticFlow("train", num_samples=16, image_shape=(16, 16))
+        seen = []
+        for rank in range(4):
+            loader = DataLoader(
+                ds, batch_size=2, shuffle=True, seed=7,
+                process_index=rank, process_count=4,
+            )
+            assert len(loader) == 2
+            for images, flows in loader:
+                seen.append(flows[:, 0, 0, :].copy())
+        all_rows = np.concatenate(seen)
+        # every sample appears exactly once across ranks
+        assert all_rows.shape == (16, 2)
+        uniq = {tuple(r) for r in all_rows}
+        ref = {tuple(ds[i][1][0, 0]) for i in range(16)}
+        assert uniq == ref
+
+    def test_invalid_rank_raises(self):
+        ds = SyntheticFlow("train", num_samples=8, image_shape=(16, 16))
+        with pytest.raises(ValueError):
+            DataLoader(ds, batch_size=2, process_index=2, process_count=2)

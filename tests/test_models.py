@@ -178,3 +178,26 @@ class TestConvPaddingSemantics:
         np.testing.assert_allclose(
             np.asarray(same), np.asarray(valid), rtol=1e-5, atol=1e-5
         )
+
+
+class TestRemat:
+    def test_remat_matches_plain(self, rng):
+        """remat=True must be numerically identical (same params, loss)."""
+        from pwcnet_tpu.train_lib import create_train_state, make_train_step
+
+        imgs = jnp.asarray(rng.random((2, 2, 16, 16, 3)).astype(np.float32))
+        flows = jnp.asarray(
+            rng.standard_normal((2, 16, 16, 2)).astype(np.float32)
+        )
+        losses = {}
+        for remat in (False, True):
+            model = PWCDCNet(
+                num_levels=3, output_level=1, search_range=2, remat=remat
+            )
+            state = create_train_state(
+                model, jax.random.PRNGKey(0), (1, 16, 16, 3)
+            )
+            step = make_train_step(model, donate=False)
+            state, m = step(state, imgs, flows)
+            losses[remat] = float(m["loss"])
+        assert losses[True] == pytest.approx(losses[False], rel=1e-6)

@@ -100,6 +100,9 @@ def build_parser():
                         help="Force a JAX platform (tpu/cpu) [auto]")
     parser.add_argument("--spatial", type=int, default=1,
                         help="Mesh size of the spatial (H) axis [1]")
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize activations in the backward "
+                        "(bigger crops/batches per chip) [disabled]")
     parser.add_argument("--pallas", dest="pallas", action="store_true",
                         help="Use the fused Pallas cost-volume kernel "
                         "(TPU only)")
