@@ -83,13 +83,19 @@ def main(argv=None):
             )[None].astype(np.float32)
             / 255.0
         )
-        out = predictor.raw_forward(batch)  # warm-up/compile
-        out[0].block_until_ready()
-        time_s = time.time()
-        for _ in range(args.iters):
-            out = predictor.raw_forward(batch)
-        out[0].block_until_ready()
-        time_iter = (time.time() - time_s) / args.iters
+        # scan-chained, fetch-synced timing (block_until_ready alone is
+        # unreliable on tunneled TPU runtimes; see utils/profiling.py)
+        from pwcnet_tpu.utils.profiling import device_timeit
+
+        h, w = batch.shape[2], batch.shape[3]
+        params = predictor.params_for(h, w)
+
+        def fwd(images, params):
+            return predictor.model.apply(
+                {"params": params}, images[:, 0], images[:, 1]
+            )[0]
+
+        time_iter = device_timeit(fwd, batch, params, iters=args.iters)
         print(
             f"Inference time: {time_iter} sec "
             f"(averaged over {args.iters} iterations)"

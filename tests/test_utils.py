@@ -132,3 +132,24 @@ class TestConfigUtils:
         saver.save()
         assert (tmp_path / "logs/run1/figure/f.txt").exists()
         assert not (tmp_path / "figure").exists()
+
+
+class TestProfiling:
+    def test_device_timeit_runs_and_is_positive(self, rng):
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.utils import device_timeit
+
+        x = jnp.asarray(rng.random((8, 128)).astype(np.float32))
+        t = device_timeit(lambda a: a * 2.0 + 1.0, x, iters=5)
+        assert t > 0
+
+    def test_flops_estimate(self, rng):
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.utils import flops_estimate
+
+        a = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+        b = jnp.asarray(rng.random((64, 64)).astype(np.float32))
+        res = flops_estimate(lambda x, y: x @ y, a, b)
+        assert res["flops"] and res["flops"] >= 2 * 64**3 * 0.9
