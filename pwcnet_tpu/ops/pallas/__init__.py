@@ -1,5 +1,8 @@
 """Pallas TPU kernels for the hot ops."""
 
-from pwcnet_tpu.ops.pallas.cost_volume import cost_volume_pallas
+from pwcnet_tpu.ops.pallas.cost_volume import (
+    cost_volume_pallas,
+    cost_volume_pallas_hpad,
+)
 
-__all__ = ["cost_volume_pallas"]
+__all__ = ["cost_volume_pallas", "cost_volume_pallas_hpad"]

@@ -69,14 +69,25 @@ def _round_tile(h: int, max_tile: int = 32) -> int:
     return h
 
 
-def _cv_forward(f0, f1, *, d: int, tile_h: int | None, interpret: bool):
+def _cv_forward(
+    f0,
+    f1,
+    *,
+    d: int,
+    tile_h: int | None,
+    interpret: bool,
+    h_prepadded: bool = False,
+):
+    """``h_prepadded``: f1 already carries d extra rows on each side (the
+    spatially-sharded path supplies halo rows exchanged over ICI)."""
     b, h, w, c = f0.shape
     th = tile_h or _round_tile(h)
     n_taps = 2 * d + 1
 
     f0_t = jnp.transpose(f0, (0, 1, 3, 2))  # (B, H, C, W)
+    h_pad = ((0, 0), (0, 0)) if h_prepadded else ((0, 0), (d, d))
     f1p_t = jnp.transpose(
-        jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)
+        jnp.pad(f1, (h_pad[0], h_pad[1], (d, d), (0, 0))), (0, 1, 3, 2)
     )  # (B, H+2d, C, W+2d)
 
     grid = (b, h // th)
@@ -323,3 +334,79 @@ def _cv_bwd_xla(f0, f1, g, d):
 
 
 cost_volume_pallas.defvjp(_cv_fwd, _cv_bwd)
+
+
+# ------------------------------------------- H-prepadded (sharded) variant
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def cost_volume_pallas_hpad(
+    f0,
+    f1_ext,
+    search_range: int = 4,
+    tile_h: int | None = None,
+    interpret: bool = False,
+):
+    """Fused cost volume over an f1 that already carries d halo rows on
+    each side (``f1_ext`` is (B, H+2d, W, C)); used by the shard_map
+    spatial-parallel path, where the halos arrive from neighbor shards via
+    ppermute and gradients must flow back through them."""
+    return _cv_forward(
+        f0,
+        f1_ext,
+        d=search_range,
+        tile_h=tile_h,
+        interpret=interpret,
+        h_prepadded=True,
+    )
+
+
+def _cv_hpad_fwd(f0, f1_ext, search_range, tile_h, interpret):
+    out = _cv_forward(
+        f0,
+        f1_ext,
+        d=search_range,
+        tile_h=tile_h,
+        interpret=interpret,
+        h_prepadded=True,
+    )
+    return out, (f0, f1_ext, out)
+
+
+def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
+    """df0 local; df1_ext keeps the halo rows (uncropped in H) so the
+    shard_map transpose routes them back to the neighbor shards."""
+    f0, f1_ext, out = res
+    d = search_range
+    b, h, w, c = f0.shape
+    inv_c = jnp.asarray(1.0 / c, f0.dtype)
+    # W-pad only; H halos are already in f1_ext.
+    f1p = jnp.pad(f1_ext, ((0, 0), (0, 0), (d, d), (0, 0)))
+
+    df0 = jnp.zeros_like(f0)
+    df1p = jnp.zeros_like(f1p)  # (B, H+2d, W+2d, C)
+    idx = 0
+    for v in range(-d, d + 1):
+        for u in range(-d, d + 1):
+            win = jax.lax.slice(
+                f1p, (0, v + d, u + d, 0), (b, v + d + h, u + d + w, c)
+            )
+            gt = g[..., idx : idx + 1] * _leaky_grad(
+                out[..., idx : idx + 1]
+            ).astype(g.dtype)
+            df0 = df0 + gt * win * inv_c
+            contrib = gt * f0 * inv_c
+            df1p = jax.lax.dynamic_update_slice(
+                df1p,
+                jax.lax.dynamic_slice(
+                    df1p, (0, v + d, u + d, 0), (b, h, w, c)
+                )
+                + contrib,
+                (0, v + d, u + d, 0),
+            )
+            idx += 1
+    df1_ext = jax.lax.slice(
+        df1p, (0, 0, d, 0), (b, h + 2 * d, d + w, c)
+    )
+    return df0, df1_ext
+
+
+cost_volume_pallas_hpad.defvjp(_cv_hpad_fwd, _cv_hpad_bwd)

@@ -1,5 +1,6 @@
 """Device-mesh and sharding utilities."""
 
+from pwcnet_tpu.parallel.spatial import make_spatial_cost_volume
 from pwcnet_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -8,6 +9,7 @@ from pwcnet_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "make_spatial_cost_volume",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",

@@ -97,17 +97,18 @@ class Trainer:
     def _build_model(self):
         args = self.args
         cv_fn = None
-        if getattr(args, "pallas", False):
-            if self.mesh.shape.get("spatial", 1) > 1:
-                print(
-                    "note: --pallas disabled (spatially sharded inputs are "
-                    "handled by the XLA cost volume, which GSPMD can "
-                    "partition with halo exchange)"
-                )
-            else:
-                from pwcnet_tpu.ops.pallas import cost_volume_pallas
+        if self.mesh.shape.get("spatial", 1) > 1:
+            # explicit shard_map path: ppermute halo exchange over ICI,
+            # fused Pallas kernel per shard (XLA slices when --no-pallas)
+            from pwcnet_tpu.parallel import make_spatial_cost_volume
 
-                cv_fn = cost_volume_pallas
+            cv_fn = make_spatial_cost_volume(
+                self.mesh, use_pallas=bool(getattr(args, "pallas", False))
+            )
+        elif getattr(args, "pallas", False):
+            from pwcnet_tpu.ops.pallas import cost_volume_pallas
+
+            cv_fn = cost_volume_pallas
         self.model = PWCDCNet(
             num_levels=args.num_levels,
             search_range=args.search_range,
