@@ -51,7 +51,15 @@ class FlowPredictor:
         use_dc: bool = False,
         output_level: int = 4,
         dtype=jnp.float32,
+        use_pallas: str | bool = "auto",
     ):
+        if use_pallas == "auto":
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+        cv_fn = None
+        if use_pallas:
+            from pwcnet_tpu.ops.pallas import cost_volume_pallas
+
+            cv_fn = cost_volume_pallas
         self.model = PWCDCNet(
             num_levels=num_levels,
             search_range=search_range,
@@ -59,6 +67,7 @@ class FlowPredictor:
             use_dc=use_dc,
             output_level=output_level,
             dtype=dtype,
+            cost_volume_fn=cv_fn,
         )
         self.num_levels = num_levels
         self.crop_factor = 2**num_levels

@@ -236,9 +236,15 @@ def _cv_bwd(search_range, tile_h, interpret, res, g):
     if _bwd_vmem_bytes(b, h, w, c, d) > 12 * 1024 * 1024:
         return _cv_bwd_xla(f0, f1, g, d)
 
-    # gt = g * leaky'(raw) / C; sign(out) == sign(raw)
-    gt = g * _leaky_grad(out).astype(g.dtype) * jnp.asarray(1.0 / c, g.dtype)
-    gt_t = jnp.transpose(gt, (0, 1, 3, 2))  # (B, H, T, W)
+    # gt = g * leaky'(raw) / C; sign(out) == sign(raw). Kept in float32:
+    # the kernels index single taps with dynamic sublane offsets, which
+    # Mosaic cannot prove aligned for 16-sublane (bf16) tiles.
+    gt = (
+        g.astype(jnp.float32)
+        * _leaky_grad(out)
+        * jnp.float32(1.0 / c)
+    )
+    gt_t = jnp.transpose(gt, (0, 1, 3, 2))  # (B, H, T, W) f32
 
     f1p_t = jnp.transpose(
         jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)

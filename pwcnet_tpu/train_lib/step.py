@@ -71,11 +71,16 @@ def make_loss_fn(
         raise ValueError(f"loss must be 'multiscale' or 'robust': {loss_name!r}")
 
     def loss_fn(params, images, flows_gt):
-        images_0 = images[:, 0]
-        images_1 = images[:, 1]
+        images_0 = images[:, 0].astype(model.dtype)
+        images_1 = images[:, 1].astype(model.dtype)
         flows_final, pyramid = model.apply(
             {"params": params}, images_0, images_1
         )
+        # losses in float32 regardless of the compute dtype (mixed
+        # precision: bf16 activations, f32 loss/grads-accumulation)
+        flows_final = flows_final.astype(jnp.float32)
+        pyramid = [f.astype(jnp.float32) for f in pyramid]
+        flows_gt = flows_gt.astype(jnp.float32)
         data_loss = criterion(flows_gt, pyramid)
         total = data_loss + gamma * losses.weight_decay(params)
         metrics = {

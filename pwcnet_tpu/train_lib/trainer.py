@@ -109,7 +109,15 @@ class Trainer:
             from pwcnet_tpu.ops.pallas import cost_volume_pallas
 
             cv_fn = cost_volume_pallas
+        import jax.numpy as jnp
+
+        dtype = (
+            jnp.bfloat16
+            if getattr(args, "dtype", "float32") == "bfloat16"
+            else jnp.float32
+        )
         self.model = PWCDCNet(
+            dtype=dtype,
             num_levels=args.num_levels,
             search_range=args.search_range,
             warp_type=args.warp_type,

@@ -100,6 +100,10 @@ def build_parser():
                         help="Force a JAX platform (tpu/cpu) [auto]")
     parser.add_argument("--spatial", type=int, default=1,
                         help="Mesh size of the spatial (H) axis [1]")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Compute dtype (params stay float32) "
+                        "[float32]")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize activations in the backward "
                         "(bigger crops/batches per chip) [disabled]")
