@@ -123,7 +123,22 @@ def _leaky_grad(y):
     return jnp.where(y >= 0, 1.0, 0.1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fwd_vmem_bytes(h, w, c, d, th, itemsize):
+    """VMEM demand of the forward kernel's blocks (lane-padding included,
+    2x for Pallas double-buffering of the tiled blocks)."""
+    taps = (2 * d + 1) ** 2
+    lanes_w = _round_up(w, 128)
+    lanes_wp = _round_up(w + 2 * d, 128)
+    full_f1 = (h + 2 * d) * c * lanes_wp * itemsize
+    f0_tile = th * c * lanes_w * itemsize
+    out_tile = th * _round_up(taps, 8) * lanes_w * itemsize
+    return full_f1 + 2 * (f0_tile + out_tile)
+
+
 def cost_volume_pallas(
     f0,
     f1,
@@ -131,7 +146,30 @@ def cost_volume_pallas(
     tile_h: int | None = None,
     interpret: bool = False,
 ):
-    """Fused cost volume (LeakyReLU included). Drop-in for ops.cost_volume."""
+    """Fused cost volume (LeakyReLU included). Drop-in for ops.cost_volume.
+
+    Falls back to the XLA formulation when the full-frame VMEM block of
+    the kernel would not fit on-chip (very large resolutions)."""
+    b, h, w, c = f0.shape
+    d = int(search_range)
+    th = tile_h or _round_tile(h)
+    if not interpret and _fwd_vmem_bytes(
+        h, w, c, d, th, jnp.dtype(f0.dtype).itemsize
+    ) > 12 * 1024 * 1024:
+        from pwcnet_tpu.ops.cost_volume import cost_volume
+
+        return cost_volume(f0, f1, d)
+    return _cost_volume_pallas_vjp(f0, f1, d, tile_h, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _cost_volume_pallas_vjp(
+    f0,
+    f1,
+    search_range: int = 4,
+    tile_h: int | None = None,
+    interpret: bool = False,
+):
     return _cv_forward(
         f0, f1, d=search_range, tile_h=tile_h, interpret=interpret
     )
@@ -339,7 +377,7 @@ def _cv_bwd_xla(f0, f1, g, d):
     return df0, df1
 
 
-cost_volume_pallas.defvjp(_cv_fwd, _cv_bwd)
+_cost_volume_pallas_vjp.defvjp(_cv_fwd, _cv_bwd)
 
 
 # ------------------------------------------- H-prepadded (sharded) variant
