@@ -9,7 +9,6 @@ path (FlyingChairs-style datasets) with a threaded C++ batch assembler.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -13,7 +13,7 @@ shape: a sequence of same-sized frames compiles exactly once.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ with a donated, jit-compiled functional step:
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

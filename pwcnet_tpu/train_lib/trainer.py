@@ -14,7 +14,6 @@ The TPU-native counterpart of the reference's Trainer (train.py:18-172):
 from __future__ import annotations
 
 import os
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp

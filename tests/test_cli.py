@@ -157,3 +157,23 @@ class TestPreemption:
             tmp_path / "model" / "model_preempt.msgpack", fresh
         )
         assert int(restored.step) == 2
+
+
+class TestPredictorShapeCache:
+    def test_mixed_frame_sizes_recompile_per_shape(self, tmp_path):
+        """test_continuous-style sequences with changing frame sizes work
+        (the jitted forward is cached per shape)."""
+        from pwcnet_tpu.inference import FlowPredictor
+
+        rng = np.random.default_rng(0)
+        pred = FlowPredictor(
+            num_levels=3, search_range=2, output_level=1, use_pallas=False
+        )
+        a = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        b = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+        flow_small, pyr_small, _ = pred(a, a)
+        flow_big, pyr_big, _ = pred(b, b)
+        assert flow_small.shape == (32, 32, 2)
+        # 40x48 crops to the nearest multiple of 2**3
+        assert flow_big.shape == (40, 48, 2)
+        assert len(pyr_small) == 2
