@@ -177,3 +177,17 @@ class TestPredictorShapeCache:
         # 40x48 crops to the nearest multiple of 2**3
         assert flow_big.shape == (40, 48, 2)
         assert len(pyr_small) == 2
+
+
+class TestRobustLossCLI:
+    def test_train_with_robust_loss(self, tmp_path, monkeypatch):
+        """--loss robust crashes in the reference (NameError); must work
+        here."""
+        monkeypatch.chdir(tmp_path)
+        train_cli.main(
+            ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
+             "--crop_type", "none", "--no-visualize", "--loss", "robust"]
+            + TINY_MODEL
+        )
+        logs = list((tmp_path / "logs").glob("history_*"))
+        assert (logs[0] / "model" / "model_1.msgpack").exists()

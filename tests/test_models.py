@@ -201,3 +201,38 @@ class TestRemat:
             state, m = step(state, imgs, flows)
             losses[remat] = float(m["loss"])
         assert losses[True] == pytest.approx(losses[False], rel=1e-6)
+
+
+class TestModelVariants:
+    def test_nearest_warp_variant_runs(self, rng):
+        model = PWCDCNet(
+            num_levels=3, output_level=1, search_range=2,
+            warp_type="nearest",
+        )
+        imgs = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), imgs, imgs)
+        flows_final, pyramid = model.apply(variables, imgs, imgs)
+        assert flows_final.shape == (1, 16, 16, 2)
+        assert np.all(np.isfinite(np.asarray(flows_final)))
+
+    def test_use_dc_variant_forward(self, rng):
+        model = PWCDCNet(
+            num_levels=3, output_level=1, search_range=2, use_dc=True
+        )
+        imgs = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), imgs, imgs)
+        flows_final, _ = model.apply(variables, imgs, imgs)
+        assert np.all(np.isfinite(np.asarray(flows_final)))
+
+    def test_bfloat16_forward(self, rng):
+        model = PWCDCNet(
+            num_levels=3, output_level=1, search_range=2,
+            dtype=jnp.bfloat16,
+        )
+        imgs = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), imgs, imgs)
+        # params stay f32; activations bf16
+        kernel = variables["params"]["fp_extractor"]["conv2d"]["kernel"]
+        assert kernel.dtype == jnp.float32
+        flows_final, _ = model.apply(variables, imgs, imgs)
+        assert flows_final.dtype == jnp.bfloat16
