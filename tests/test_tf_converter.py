@@ -247,3 +247,40 @@ class TestConverterCLI:
         out = capsys.readouterr().out
         assert "110 model tensors" in out
         assert "pwcdcnet/fp_extractor/conv2d/kernel  (3, 3, 3, 16)" in out
+
+
+class TestEndToEndModelConversion:
+    def test_full_tiny_model_roundtrip(self, tmp_path, rng):
+        """Write a complete TF-named bundle for a tiny PWCDCNet, convert,
+        load into the flax model, and run a forward pass with it."""
+        import jax
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.models import PWCDCNet
+
+        model = PWCDCNet(num_levels=3, output_level=1, search_range=2)
+        imgs = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), imgs, imgs)["params"]
+
+        # synthesize TF-named tensors with fresh random values
+        tensors = {}
+        flat = jax.tree_util.tree_flatten_with_path(template)[0]
+        for path, leaf in flat:
+            name = "pwcdcnet/" + "/".join(k.key for k in path)
+            tensors[name] = rng.standard_normal(leaf.shape).astype(np.float32)
+        tensors["beta1_power"] = np.array(0.9, np.float32)  # should be skipped
+
+        prefix = _write_bundle(tmp_path, tensors)
+        loaded = tfc.load_tf_checkpoint_params(prefix, template)
+
+        for path, leaf in jax.tree_util.tree_flatten_with_path(loaded)[0]:
+            name = "pwcdcnet/" + "/".join(k.key for k in path)
+            np.testing.assert_array_equal(np.asarray(leaf), tensors[name])
+
+        flows_final, pyramid = model.apply(
+            {"params": loaded},
+            jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32),
+            jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32),
+        )
+        assert flows_final.shape == (1, 16, 16, 2)
+        assert np.all(np.isfinite(np.asarray(flows_final)))
