@@ -73,3 +73,30 @@ def test_conv_same_oracle_against_flax(rng):
             dilation=dilation,
         )
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_full_depth_pwcdcnet_matches_oracle(rng):
+    """Full 6-level / output-level-4 / d=4 configuration (the flagship
+    production config) against the NumPy oracle at 64x64."""
+    model = PWCDCNet()  # all defaults
+    images_0 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    images_1 = rng.random((1, 64, 64, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(7), jnp.asarray(images_0), jnp.asarray(images_1)
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    flows_jax, pyramid_jax = model.apply(
+        variables, jnp.asarray(images_0), jnp.asarray(images_1)
+    )
+    flows_np, pyramid_np = oracles.pwcdcnet_forward(
+        params, images_0, images_1
+    )
+    assert len(pyramid_jax) == 5
+    for l, (a, b) in enumerate(zip(pyramid_jax, pyramid_np)):
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-4, atol=1e-5, err_msg=f"level {l}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(flows_jax), flows_np, rtol=1e-4, atol=1e-4
+    )
