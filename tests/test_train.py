@@ -185,3 +185,19 @@ class TestCheckpoint:
         (tmp_path / "junk.txt").write_bytes(b"x")
         assert latest_checkpoint(tmp_path).endswith("model_10.msgpack")
         assert latest_checkpoint(tmp_path / "none") is None
+
+
+class TestMixedPrecision:
+    def test_bf16_model_f32_loss_and_params(self, rng):
+        model = PWCDCNet(dtype=jnp.bfloat16, **TINY)
+        state = create_train_state(model, jax.random.PRNGKey(0), (1, HW, HW, 3))
+        # master params stay f32
+        for p in jax.tree_util.tree_leaves(state.params):
+            assert p.dtype == jnp.float32
+        step = make_train_step(model, donate=False)
+        images, flows = _batch(rng)
+        state, metrics = step(state, images, flows)
+        assert metrics["loss"].dtype == jnp.float32
+        assert np.isfinite(float(metrics["loss"]))
+        for p in jax.tree_util.tree_leaves(state.params):
+            assert p.dtype == jnp.float32

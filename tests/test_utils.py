@@ -153,3 +153,16 @@ class TestProfiling:
         b = jnp.asarray(rng.random((64, 64)).astype(np.float32))
         res = flops_estimate(lambda x, y: x @ y, a, b)
         assert res["flops"] and res["flops"] >= 2 * 64**3 * 0.9
+
+    def test_trace_context_writes_profile(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.utils import trace
+
+        with trace(str(tmp_path / "trace")) as logdir:
+            jnp.ones((8, 8)).sum().block_until_ready()
+        import pathlib
+
+        files = list(pathlib.Path(logdir).rglob("*"))
+        assert files, "no trace artifacts written"
