@@ -2,6 +2,8 @@
 
 from pwcnet_tpu.train_lib.checkpoint import (
     latest_checkpoint,
+    restore_checkpoint_orbax,
+    save_checkpoint_orbax,
     load_params,
     restore_checkpoint,
     save_checkpoint,
@@ -26,7 +28,9 @@ __all__ = [
     "latest_checkpoint",
     "load_params",
     "restore_checkpoint",
+    "restore_checkpoint_orbax",
     "save_checkpoint",
+    "save_checkpoint_orbax",
     "save_params",
     "MetricsLogger",
     "DEFAULT_BOUNDARIES",

@@ -20,6 +20,8 @@ from flax import serialization
 
 __all__ = [
     "save_checkpoint",
+    "save_checkpoint_orbax",
+    "restore_checkpoint_orbax",
     "restore_checkpoint",
     "save_params",
     "load_params",
@@ -86,3 +88,27 @@ def latest_checkpoint(directory: str | os.PathLike, prefix: str = "model_"):
         if n > best_n:
             best, best_n = p, n
     return str(best) if best else None
+
+
+# ----------------------------------------------------- orbax backend
+def save_checkpoint_orbax(directory: str | os.PathLike, state) -> str:
+    """Save a TrainState as an orbax checkpoint directory.
+
+    Orbax writes tensors sharded/async-capable — preferable to the
+    single-file msgpack backend for very large states or multi-host runs.
+    The directory must not already exist.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = Path(directory).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(directory, _to_host(state))
+    ckptr.wait_until_finished()
+    return str(directory)
+
+
+def restore_checkpoint_orbax(directory: str | os.PathLike, state_template):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(directory).absolute(), state_template)

@@ -201,3 +201,25 @@ class TestMixedPrecision:
         assert np.isfinite(float(metrics["loss"]))
         for p in jax.tree_util.tree_leaves(state.params):
             assert p.dtype == jnp.float32
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, rng, tmp_path):
+        from pwcnet_tpu.train_lib import (
+            restore_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        model, state = _tiny_state()
+        step = make_train_step(model, donate=False)
+        images, flows = _batch(rng)
+        state, _ = step(state, images, flows)
+        path = save_checkpoint_orbax(tmp_path / "orbax_1", state)
+        _, fresh = _tiny_state()
+        restored = restore_checkpoint_orbax(path, fresh)
+        assert int(restored.step) == 1
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
