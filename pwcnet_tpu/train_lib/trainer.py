@@ -258,7 +258,7 @@ class Trainer:
                     flow_set,
                     np.asarray(flows_gt[0]),
                     np.asarray(images[0]),
-                    f"./figure/flow_{str(epoch + 1).zfill(4)}.png",
+                    f"./figure/flow_{str(epoch + 1).zfill(4)}.pdf",
                 )
 
             # -- checkpoint ------------------------------------------------
