@@ -52,7 +52,16 @@ class FlowPredictor:
         output_level: int = 4,
         dtype=jnp.float32,
         use_pallas: str | bool = "auto",
+        size_handling: str = "crop",
     ):
+        """``size_handling``: how non-multiple-of-2**num_levels frames are
+        made jit-shaped — 'crop' (reference behavior: top-left factor
+        crop, test.py:13-17) or 'pad' (edge-replicate up to the next
+        multiple and crop the output flow back, keeping every input
+        pixel — useful for full-frame Sintel eval at 436 rows)."""
+        if size_handling not in ("crop", "pad"):
+            raise ValueError(f"size_handling must be crop|pad: {size_handling!r}")
+        self.size_handling = size_handling
         if use_pallas == "auto":
             use_pallas = jax.devices()[0].platform not in ("cpu",)
         cv_fn = None
@@ -111,8 +120,17 @@ class FlowPredictor:
         Returns (flow_final (H', W', 2) np.float32 pixels, pyramid list in
         pixel units, cropped normalized frames (2, H', W', 3)).
         """
-        img0 = factor_crop(image_0, self.crop_factor)
-        img1 = factor_crop(image_1, self.crop_factor)
+        orig_h, orig_w = image_0.shape[:2]
+        if self.size_handling == "pad":
+            f = self.crop_factor
+            ph = -(-orig_h // f) * f
+            pw = -(-orig_w // f) * f
+            pad = ((0, ph - orig_h), (0, pw - orig_w), (0, 0))
+            img0 = np.pad(image_0, pad, mode="edge")
+            img1 = np.pad(image_1, pad, mode="edge")
+        else:
+            img0 = factor_crop(image_0, self.crop_factor)
+            img1 = factor_crop(image_1, self.crop_factor)
         h, w = img0.shape[:2]
         images = np.stack([img0, img1]).astype(np.float32) / 255.0
         params = self.params_for(h, w)
@@ -124,7 +142,10 @@ class FlowPredictor:
             np.asarray(f[0]) * (20.0 / 2 ** (self.num_levels - l))
             for l, f in enumerate(pyramid)
         ]
-        return np.asarray(flow_final[0]), pyramid_px, images
+        flow_out = np.asarray(flow_final[0])
+        if self.size_handling == "pad":
+            flow_out = flow_out[:orig_h, :orig_w]
+        return flow_out, pyramid_px, images
 
     def raw_forward(self, images: jnp.ndarray):
         """Jitted forward on a preprocessed (1, 2, H, W, 3) batch (for

@@ -31,6 +31,10 @@ def build_parser():
     parser.set_defaults(use_dc=False)
     parser.add_argument("--output_level", type=int, default=4,
                         help="Final output level for estimated flow [4]")
+    parser.add_argument("--size_handling", choices=["crop", "pad"],
+                        default="crop",
+                        help="Non-multiple-of-64 frames: 'crop' (reference "
+                        "behavior) or 'pad' (keep all pixels) [crop]")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (tpu/cpu) [auto]")
     return parser
@@ -75,6 +79,7 @@ def main(argv=None):
         search_range=args.search_range,
         use_dc=args.use_dc,
         output_level=args.output_level,
+        size_handling=args.size_handling,
     )
     os.makedirs("./test_figure", exist_ok=True)
 

@@ -191,3 +191,32 @@ class TestRobustLossCLI:
         )
         logs = list((tmp_path / "logs").glob("history_*"))
         assert (logs[0] / "model" / "model_1.msgpack").exists()
+
+
+class TestPadSizeHandling:
+    def test_pad_keeps_full_frame(self):
+        """436-row Sintel-like frames: pad mode returns flow for every
+        input pixel (crop mode would drop rows)."""
+        from pwcnet_tpu.inference import FlowPredictor
+
+        rng = np.random.default_rng(0)
+        img = (rng.random((27, 35, 3)) * 255).astype(np.uint8)
+        pad_pred = FlowPredictor(
+            num_levels=3, search_range=2, output_level=1,
+            use_pallas=False, size_handling="pad",
+        )
+        flow, _, _ = pad_pred(img, img)
+        assert flow.shape == (27, 35, 2)
+
+        crop_pred = FlowPredictor(
+            num_levels=3, search_range=2, output_level=1,
+            use_pallas=False, size_handling="crop",
+        )
+        flow_c, _, _ = crop_pred(img, img)
+        assert flow_c.shape == (24, 32, 2)
+
+    def test_invalid_mode_raises(self):
+        from pwcnet_tpu.inference import FlowPredictor
+
+        with pytest.raises(ValueError):
+            FlowPredictor(size_handling="stretch")
