@@ -17,7 +17,7 @@ import numpy as np
 
 _DIR = Path(__file__).parent
 _SRC = _DIR / "pwcdata.cc"
-_LIB = _DIR / "_pwcdata.so"
+_LIB = _DIR / "libpwcdata.so"
 _lock = threading.Lock()
 _lib = None
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (TPU params)
 
-__all__ = ["cost_volume_pallas"]
+__all__ = ["cost_volume_pallas", "cost_volume_pallas_hpad"]
 
 
 def _cv_kernel(f0_ref, f1p_ref, out_ref, *, d: int, inv_c: float):
