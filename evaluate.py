@@ -2,8 +2,20 @@
 """Dataset evaluation CLI: average EPE over a dataset split.
 
 The reference only surfaces EPE as a TensorBoard scalar during training
-(train.py:77,105); this CLI evaluates a checkpoint's end-point error over
-any registered dataset split directly.
+(/root/reference/train.py:77,105) and computes it on uncropped val batches
+(train.py:136-143); this CLI evaluates a checkpoint directly and supports
+the standard full-frame protocol:
+
+- ``--size_handling pad`` (default): frames are edge-padded up to the next
+  multiple of 2**num_levels, the network runs on the padded frames, and the
+  predicted flow is cropped back — EPE is computed over EVERY pixel of the
+  original frames (the literature's Sintel definition, e.g. 436x1024
+  full-frame EPE).
+- ``--size_handling crop``: center-crop to --crop_shape first (faster,
+  but not comparable to published full-frame numbers).
+
+Aggregation is pixel-weighted; a per-scene breakdown is printed for
+datasets whose samples carry scene directories (Sintel).
 
 Example:
     python evaluate.py -d SintelClean -dd datasets/Sintel --split val \
@@ -12,6 +24,7 @@ Example:
 
 import argparse
 import os
+from pathlib import Path
 
 
 def build_parser():
@@ -22,15 +35,33 @@ def build_parser():
     parser.add_argument("-b", "--batch_size", type=int, default=4)
     parser.add_argument("-r", "--resume", type=str, default=None,
                         help="Checkpoint (msgpack or TF .ckpt) [None]")
+    parser.add_argument("--size_handling", choices=["pad", "crop"],
+                        default="pad",
+                        help="Full-frame eval via edge padding (standard "
+                        "protocol) or center cropping [pad]")
     parser.add_argument("--crop_type", type=str, default="center",
-                        help="Crop for uniform eval shapes [center]")
+                        help="Crop type when --size_handling crop "
+                        "(center/none) [center]")
     parser.add_argument("--crop_shape", nargs=2, type=int,
-                        default=[384, 448])
+                        default=[384, 448],
+                        help="Crop shape when --size_handling crop")
     parser.add_argument("--num_levels", type=int, default=6)
     parser.add_argument("--search_range", type=int, default=4)
     parser.add_argument("--output_level", type=int, default=4)
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32")
     parser.add_argument("--platform", type=str, default=None)
+    parser.add_argument("--pallas", dest="pallas", action="store_true")
+    parser.add_argument("--no-pallas", dest="pallas", action="store_false")
+    parser.set_defaults(pallas=None)  # auto: on for TPU
     return parser
+
+
+def sample_scene(sample) -> str:
+    """Scene label for a dataset sample (Sintel: flow's parent directory)."""
+    if isinstance(sample, (tuple, list)) and len(sample) == 3:
+        return Path(sample[2]).parent.name
+    return "all"
 
 
 def main(argv=None):
@@ -42,42 +73,81 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from pwcnet_tpu import losses
     from pwcnet_tpu.data import DataLoader, get_dataset
     from pwcnet_tpu.inference import FlowPredictor
+    from pwcnet_tpu.utils.config import show_progress
 
+    pad_mode = args.size_handling == "pad"
     dset = get_dataset(args.dataset)(
         train_or_val=args.split,
         dataset_dir=args.dataset_dir,
-        crop_type=args.crop_type,
-        crop_shape=args.crop_shape,
+        crop_type="none" if pad_mode else args.crop_type,
+        crop_shape=None if pad_mode else args.crop_shape,
     )
     loader = DataLoader(
         dset, batch_size=args.batch_size, shuffle=False, drop_last=False
     )
+    use_pallas = args.pallas
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
     predictor = FlowPredictor(
         checkpoint=args.resume,
         num_levels=args.num_levels,
         search_range=args.search_range,
         output_level=args.output_level,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        use_pallas=use_pallas,
+        size_handling=args.size_handling,
     )
+    factor = 2**args.num_levels
 
-    total_epe, n = 0.0, 0
+    # per-scene pixel-weighted sums; loader order == dataset order
+    scene_sum: dict = {}
+    scene_px: dict = {}
+    cursor = 0
+    total = len(dset.samples)
     for images, flows_gt in loader:
-        import jax.numpy as jnp
-
-        batch = jnp.asarray(images)
-        flow_final, _ = predictor.raw_forward(batch)
-        epe = float(
-            losses.epe(jnp.asarray(flows_gt), flow_final)
-        )
         b = images.shape[0]
-        total_epe += epe * b
-        n += b
-    print(f"{args.dataset}/{args.split}: mean EPE over {n} samples = "
-          f"{total_epe / max(n, 1):.4f} px")
+        h, w = images.shape[2], images.shape[3]
+        if pad_mode:
+            ph = -(-h // factor) * factor
+            pw = -(-w // factor) * factor
+            batch = np.pad(
+                images,
+                ((0, 0), (0, 0), (0, ph - h), (0, pw - w), (0, 0)),
+                mode="edge",
+            )
+        else:
+            batch = images
+        flow_final, _ = predictor.raw_forward(jnp.asarray(batch))
+        pred = np.asarray(flow_final, np.float32)[:, :h, :w]
+        err = np.linalg.norm(pred - np.asarray(flows_gt, np.float32), axis=-1)
+        for i in range(b):
+            scene = sample_scene(dset.samples[cursor + i])
+            scene_sum[scene] = scene_sum.get(scene, 0.0) + float(
+                err[i].sum()
+            )
+            scene_px[scene] = scene_px.get(scene, 0) + err[i].size
+        cursor += b
+        show_progress(1, cursor, total)
+    print()
+
+    if len(scene_sum) > 1:
+        print(f"{'scene':<24} {'EPE':>8} {'frames(px-weighted)':>20}")
+        for scene in sorted(scene_sum):
+            print(
+                f"{scene:<24} {scene_sum[scene] / scene_px[scene]:>8.4f}"
+            )
+    grand = sum(scene_sum.values()) / max(sum(scene_px.values()), 1)
+    protocol = "full-frame" if pad_mode else f"center-crop {args.crop_shape}"
+    print(
+        f"{args.dataset}/{args.split} ({protocol}): mean EPE over "
+        f"{cursor} frames = {grand:.4f} px"
+    )
+    return grand
 
 
 if __name__ == "__main__":

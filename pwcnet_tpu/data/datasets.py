@@ -283,8 +283,9 @@ class SyntheticFlow(FlowDataset):
         seed = self.samples[idx]
         rng = np.random.default_rng(seed)
         h, w = self.image_shape
-        # smooth random texture so flow is recoverable
-        img = rng.random((h // 4, w // 4, 3)).astype(np.float32)
+        # smooth random texture so flow is recoverable (ceil-divide so
+        # non-multiple-of-4 frame shapes still get full coverage)
+        img = rng.random((-(-h // 4), -(-w // 4), 3)).astype(np.float32)
         img = np.kron(img, np.ones((4, 4, 1), np.float32))[:h, :w]
         dx = int(rng.integers(-self.max_disp, self.max_disp + 1))
         dy = int(rng.integers(-self.max_disp, self.max_disp + 1))

@@ -14,8 +14,10 @@ TPU design: the reference uses four `tf.gather_nd` calls over the full
 feature map. Arbitrary per-pixel gathers do not vectorize on the VPU, so we
 express the warp as `take_along_axis` over a flattened spatial axis, which
 XLA lowers to its native TPU gather; feature maps at every pyramid level are
-small enough that this is bandwidth-trivial next to the convs. The fused
-Pallas warp+correlation path lives in `pwcnet_tpu.ops.pallas`.
+small enough that this is bandwidth-trivial next to the convs. For the hot
+warp->correlation sequence, `pwcnet_tpu.ops.pallas.warped_cost_volume` fuses
+the bilinear warp and the 81-tap correlation into one VMEM-resident Pallas
+pass (no warped-feature HBM round trip).
 """
 
 from __future__ import annotations

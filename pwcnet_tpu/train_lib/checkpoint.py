@@ -23,6 +23,7 @@ __all__ = [
     "save_checkpoint_orbax",
     "restore_checkpoint_orbax",
     "restore_checkpoint",
+    "restore_checkpoint_auto",
     "save_params",
     "load_params",
     "latest_checkpoint",
@@ -51,6 +52,14 @@ def restore_checkpoint(path: str | os.PathLike, state_template):
     return serialization.from_bytes(state_template, data)
 
 
+def restore_checkpoint_auto(path: str | os.PathLike, state_template):
+    """Restore a TrainState from either backend, detected by path type:
+    a directory is an orbax checkpoint, a file is msgpack."""
+    if Path(path).is_dir():
+        return restore_checkpoint_orbax(path, state_template)
+    return restore_checkpoint(path, state_template)
+
+
 def save_params(path: str | os.PathLike, params) -> str:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -62,9 +71,15 @@ def load_params(path: str | os.PathLike, params_template):
     """Load params from a params-only OR full-TrainState checkpoint.
 
     Full-state files (saved per-epoch by the Trainer) keep params under a
-    'params' key next to 'step'/'opt_state'; detect and unwrap.
+    'params' key next to 'step'/'opt_state'; detect and unwrap. Orbax
+    checkpoint directories are handled transparently.
     """
-    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    if Path(path).is_dir():
+        import orbax.checkpoint as ocp
+
+        raw = ocp.StandardCheckpointer().restore(Path(path).absolute())
+    else:
+        raw = serialization.msgpack_restore(Path(path).read_bytes())
     if (
         isinstance(raw, dict)
         and "params" in raw
@@ -96,13 +111,13 @@ def save_checkpoint_orbax(directory: str | os.PathLike, state) -> str:
 
     Orbax writes tensors sharded/async-capable — preferable to the
     single-file msgpack backend for very large states or multi-host runs.
-    The directory must not already exist.
+    An existing directory is overwritten (preemption saves may repeat).
     """
     import orbax.checkpoint as ocp
 
     directory = Path(directory).absolute()
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(directory, _to_host(state))
+    ckptr.save(directory, _to_host(state), force=True)
     ckptr.wait_until_finished()
     return str(directory)
 

@@ -22,7 +22,11 @@ import numpy as np
 from pwcnet_tpu.data import DataLoader, device_prefetch, get_dataset
 from pwcnet_tpu.models import PWCDCNet
 from pwcnet_tpu.parallel import batch_sharding, make_mesh
-from pwcnet_tpu.train_lib.checkpoint import restore_checkpoint, save_checkpoint
+from pwcnet_tpu.train_lib.checkpoint import (
+    restore_checkpoint_auto,
+    save_checkpoint,
+    save_checkpoint_orbax,
+)
 from pwcnet_tpu.train_lib.metrics import MetricsLogger
 from pwcnet_tpu.train_lib.step import (
     create_train_state,
@@ -135,7 +139,8 @@ class Trainer:
         )
         if args.resume is not None:
             print(f"Loading learned model from checkpoint {args.resume}")
-            self.state = restore_checkpoint(args.resume, self.state)
+            # auto-detects the backend: orbax directory vs msgpack file
+            self.state = restore_checkpoint_auto(args.resume, self.state)
 
         loss_kwargs = dict(
             loss_name=args.loss,
@@ -189,11 +194,18 @@ class Trainer:
             except ValueError:  # not the main thread
                 break
 
+    def _save_state(self, stem: str) -> str:
+        """Save the TrainState under ./model/<stem> with the configured
+        backend (msgpack file or orbax directory)."""
+        os.makedirs("./model", exist_ok=True)
+        if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
+            return save_checkpoint_orbax(f"./model/{stem}", self.state)
+        return save_checkpoint(f"./model/{stem}.msgpack", self.state)
+
     def _handle_preemption(self) -> bool:
         if not getattr(self, "_preempted", False):
             return False
-        os.makedirs("./model", exist_ok=True)
-        path = save_checkpoint("./model/model_preempt.msgpack", self.state)
+        path = self._save_state("model_preempt")
         print(f"\npreempted: state saved to {path} (step {int(self.state.step)})")
         return True
 
@@ -201,9 +213,22 @@ class Trainer:
         args = self.args
         log_interval = getattr(args, "log_interval", 1000)
         self._install_preemption_handler()
+        from tqdm import tqdm
+
         for epoch in range(args.num_epochs):
             # -- training ------------------------------------------------
+            # Per-batch progress like the reference (train.py:119). Metrics
+            # are only fetched at log_interval — reading them every batch
+            # would force a device sync per step.
             last_metrics = None
+            pbar = tqdm(
+                total=self.num_batches,
+                desc=f"epoch {epoch + 1}/{args.num_epochs}",
+                unit="batch",
+                leave=False,
+                disable=None,  # auto-off on non-tty
+                dynamic_ncols=True,
+            )
             for images, flows_gt in device_prefetch(
                 iter(self.tloader), sharding=self.batch_shardings[0]
             ):
@@ -213,6 +238,7 @@ class Trainer:
                 )
                 last_metrics = metrics
                 if self._handle_preemption():
+                    pbar.close()
                     return self.state
                 g_step = int(self.state.step)
                 if g_step % log_interval == 0:
@@ -223,6 +249,13 @@ class Trainer:
                             "EPE/source": metrics["epe"],
                         },
                     )
+                    pbar.set_postfix(
+                        loss=f"{float(metrics['loss']):.4f}",
+                        epe=f"{float(metrics['epe']):.4f}",
+                        refresh=False,
+                    )
+                pbar.update(1)
+            pbar.close()
             g_step = int(self.state.step)
 
             # -- validation ----------------------------------------------
@@ -262,8 +295,7 @@ class Trainer:
                 )
 
             # -- checkpoint ------------------------------------------------
-            os.makedirs("./model", exist_ok=True)
-            save_checkpoint(f"./model/model_{epoch + 1}.msgpack", self.state)
+            self._save_state(f"model_{epoch + 1}")
             print(
                 f"epoch {epoch + 1}/{args.num_epochs} step {g_step} "
                 + (

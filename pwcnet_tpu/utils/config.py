@@ -22,12 +22,25 @@ def timestamp() -> str:
     return datetime.now().strftime("%Y-%m-%d-%H-%M")
 
 
-def show_progress(epoch, batch, batch_total, **kwargs) -> None:
-    message = f"\r{epoch} epoch: [{batch}/{batch_total}"
-    for key, item in kwargs.items():
-        message += f", {key}: {item}"
-    sys.stdout.write(message + "]")
-    sys.stdout.flush()
+def show_progress(epoch, batch, batch_total, width: int = 20, **kwargs) -> None:
+    """Single-line progress indicator (reference surface: utils.py:9-14).
+
+    Rewritten with a textual bar + percentage; extra keyword metrics are
+    appended as ``key: value`` pairs. Used as the non-tty fallback where
+    tqdm would be noisy (evaluate.py) — the Trainer uses tqdm directly.
+    """
+    total = max(int(batch_total), 1)
+    frac = min(max(batch / total, 0.0), 1.0)
+    fill = int(round(frac * width))
+    bar = "#" * fill + "-" * (width - fill)
+    extras = "".join(f", {k}: {v}" for k, v in kwargs.items())
+    print(
+        f"\r{epoch} epoch: |{bar}| {frac * 100:5.1f}% "
+        f"[{batch}/{batch_total}{extras}]",
+        end="",
+        file=sys.stdout,
+        flush=True,
+    )
 
 
 def save_config(config, filename: str | None = None) -> str:

@@ -37,6 +37,7 @@ TINY_MODEL = ["--num_levels", "3", "--search_range", "2",
 
 
 class TestTrainCLI:
+    @pytest.mark.slow
     def test_synthetic_one_epoch(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         train_cli.main(
@@ -51,6 +52,7 @@ class TestTrainCLI:
         metrics = (logs[0] / "train" / "metrics.jsonl").read_text()
         assert "EPE/source" in metrics
 
+    @pytest.mark.slow
     def test_resume_from_checkpoint(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
         args = ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
@@ -115,6 +117,7 @@ class TestEvaluateCLI:
 
 
 class TestPreemption:
+    @pytest.mark.slow
     def test_sigterm_saves_resumable_checkpoint(self, tmp_path, monkeypatch):
         """Simulated preemption mid-epoch saves a full-state checkpoint."""
         import signal
@@ -180,6 +183,7 @@ class TestPredictorShapeCache:
 
 
 class TestRobustLossCLI:
+    @pytest.mark.slow
     def test_train_with_robust_loss(self, tmp_path, monkeypatch):
         """--loss robust crashes in the reference (NameError); must work
         here."""
@@ -220,3 +224,45 @@ class TestPadSizeHandling:
 
         with pytest.raises(ValueError):
             FlowPredictor(size_handling="stretch")
+
+
+class TestFullFrameEvaluate:
+    def test_pad_mode_evaluates_odd_frames(self, tmp_path, monkeypatch,
+                                           capsys):
+        """Full-frame protocol: 27x35 frames (not a multiple of 2**3) are
+        edge-padded for the network and EPE covers every original pixel."""
+        import evaluate as eval_cli
+        from pwcnet_tpu.data import datasets
+
+        class OddSynth(datasets.SyntheticFlow):
+            def __init__(self, **kw):
+                kw.setdefault("image_shape", (27, 35))
+                kw.setdefault("num_samples", 4)
+                kw["crop_type"] = "none"
+                kw["crop_shape"] = None
+                super().__init__(**kw)
+
+        monkeypatch.setitem(datasets._REGISTRY, "OddSynth", OddSynth)
+        monkeypatch.chdir(tmp_path)
+        epe = eval_cli.main(
+            ["-d", "OddSynth", "-dd", ".", "--split", "val", "-b", "2",
+             "--no-pallas"] + TINY_MODEL
+        )
+        out = capsys.readouterr().out
+        assert "full-frame" in out
+        assert np.isfinite(epe)
+
+
+class TestOrbaxBackendCLI:
+    @pytest.mark.slow
+    def test_train_save_and_resume_orbax(self, tmp_path, monkeypatch):
+        """--ckpt_backend orbax writes directory checkpoints; --resume
+        auto-detects the directory format."""
+        monkeypatch.chdir(tmp_path)
+        args = ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
+                "--crop_type", "none", "--no-visualize",
+                "--ckpt_backend", "orbax"] + TINY_MODEL
+        train_cli.main(args)
+        ckpt = next((tmp_path / "logs").glob("history_*/model/model_1"))
+        assert ckpt.is_dir()
+        train_cli.main(args + ["-r", str(ckpt)])

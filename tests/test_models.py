@@ -77,6 +77,7 @@ class TestPWCDCNetParams:
         # "~4.05M" estimate was wrong; the shapes sum to 5,029,868).
         assert n_params == 5_029_868
 
+    @pytest.mark.slow
     def test_dense_connection_changes_widths(self):
         _, variables = _init_pwcdcnet(use_dc=True)
         est = variables["params"]["optflow_0"]
@@ -181,6 +182,7 @@ class TestConvPaddingSemantics:
 
 
 class TestRemat:
+    @pytest.mark.slow
     def test_remat_matches_plain(self, rng):
         """remat=True must be numerically identical (same params, loss)."""
         from pwcnet_tpu.train_lib import create_train_state, make_train_step
@@ -215,6 +217,7 @@ class TestModelVariants:
         assert flows_final.shape == (1, 16, 16, 2)
         assert np.all(np.isfinite(np.asarray(flows_final)))
 
+    @pytest.mark.slow
     def test_use_dc_variant_forward(self, rng):
         model = PWCDCNet(
             num_levels=3, output_level=1, search_range=2, use_dc=True

@@ -68,6 +68,7 @@ class TestSpatialCostVolume:
             np.asarray(gs1), np.asarray(gr1), rtol=1e-4, atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_full_model_with_spatial_pallas_cv(self, rng):
         """PWCDCNet forward with the sharded cv == replicated forward."""
         from pwcnet_tpu.models import PWCDCNet

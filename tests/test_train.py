@@ -70,6 +70,7 @@ class TestTrainStep:
         assert float(metrics["loss"]) < first
         assert int(state.step) == 8
 
+    @pytest.mark.slow
     def test_metrics_keys_and_finiteness(self, rng):
         model, state = _tiny_state()
         step = make_train_step(model, donate=False)
@@ -78,6 +79,7 @@ class TestTrainStep:
         assert set(metrics) == {"loss", "data_loss", "epe"}
         assert all(np.isfinite(float(v)) for v in metrics.values())
 
+    @pytest.mark.slow
     def test_robust_loss_variant(self, rng):
         model, state = _tiny_state()
         step = make_train_step(model, donate=False, loss_name="robust")
@@ -95,6 +97,7 @@ class TestTrainStep:
 
 
 class TestShardedTraining:
+    @pytest.mark.slow
     def test_dp_grads_match_single_device(self, rng):
         """Sharded-batch training must produce the same update as
         single-device training (the psum-correctness invariant)."""
@@ -168,6 +171,7 @@ class TestCheckpoint:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.slow
     def test_resume_training_continues(self, rng, tmp_path):
         model, state = _tiny_state()
         step = make_train_step(model, donate=False)
@@ -188,6 +192,7 @@ class TestCheckpoint:
 
 
 class TestMixedPrecision:
+    @pytest.mark.slow
     def test_bf16_model_f32_loss_and_params(self, rng):
         model = PWCDCNet(dtype=jnp.bfloat16, **TINY)
         state = create_train_state(model, jax.random.PRNGKey(0), (1, HW, HW, 3))

@@ -166,3 +166,24 @@ class TestProfiling:
 
         files = list(pathlib.Path(logdir).rglob("*"))
         assert files, "no trace artifacts written"
+
+
+class TestShowProgress:
+    def test_bar_and_counts(self, capsys):
+        from pwcnet_tpu.utils import show_progress
+
+        show_progress(3, 5, 10, loss=0.25)
+        out = capsys.readouterr().out
+        assert "3 epoch" in out
+        assert "[5/10" in out
+        assert "loss: 0.25" in out
+        assert "50.0%" in out
+        assert "#" in out and "-" in out
+
+    def test_full_and_empty(self, capsys):
+        from pwcnet_tpu.utils import show_progress
+
+        show_progress(1, 0, 4, width=4)
+        show_progress(1, 4, 4, width=4)
+        out = capsys.readouterr().out
+        assert "|----|" in out and "|####|" in out

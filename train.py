@@ -92,6 +92,10 @@ def build_parser():
     parser.set_defaults(visualize=True)
     parser.add_argument("-r", "--resume", type=str, default=None,
                         help="Learned parameter checkpoint file [None]")
+    parser.add_argument("--ckpt_backend", choices=["msgpack", "orbax"],
+                        default="msgpack",
+                        help="Checkpoint format: single-file msgpack or "
+                        "orbax directory (sharded/async-capable) [msgpack]")
 
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed [0]")
     parser.add_argument("--log_interval", type=int, default=1000,
