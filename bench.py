@@ -39,6 +39,10 @@ def main():
     parser.add_argument("--no-pallas", dest="pallas", action="store_false",
                         help="Disable the fused Pallas cost-volume kernel")
     parser.set_defaults(pallas=True)
+    parser.add_argument("--no-fused", dest="fused", action="store_false",
+                        help="Disable the fused warp+cost-volume kernel "
+                        "(fall back to XLA warp + Pallas cost volume)")
+    parser.set_defaults(fused=True)
     args = parser.parse_args()
 
     import jax
@@ -48,12 +52,14 @@ def main():
     from pwcnet_tpu.models import PWCDCNet
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cv_fn = None
+    cv_fn = warp_cv_fn = None
     if args.pallas and jax.devices()[0].platform != "cpu":
-        from pwcnet_tpu.ops.pallas import cost_volume_pallas
+        from pwcnet_tpu.ops.pallas import cost_volume_pallas, warped_cost_volume
 
         cv_fn = cost_volume_pallas
-    model = PWCDCNet(dtype=dtype, cost_volume_fn=cv_fn)
+        if args.fused:
+            warp_cv_fn = warped_cost_volume
+    model = PWCDCNet(dtype=dtype, cost_volume_fn=cv_fn, warp_cv_fn=warp_cv_fn)
 
     rng = np.random.default_rng(0)
     b, h, w = args.batch, args.height, args.width
@@ -84,8 +90,13 @@ def main():
             {
                 "metric": (
                     f"PWCDCNet {h}x{w} b{b} {args.dtype} inference "
-                    f"throughput ({'pallas' if cv_fn else 'xla'} cost "
-                    "volume)"
+                    "throughput ("
+                    + (
+                        "fused pallas warp+cost volume"
+                        if warp_cv_fn
+                        else ("pallas" if cv_fn else "xla") + " cost volume"
+                    )
+                    + ")"
                 ),
                 "value": round(pairs_per_sec, 3),
                 "unit": "image_pairs_per_sec_per_chip",

@@ -52,6 +52,7 @@ class FlowPredictor:
         output_level: int = 4,
         dtype=jnp.float32,
         use_pallas: str | bool = "auto",
+        use_fused: str | bool = "auto",
         size_handling: str = "crop",
     ):
         """``size_handling``: how non-multiple-of-2**num_levels frames are
@@ -64,11 +65,18 @@ class FlowPredictor:
         self.size_handling = size_handling
         if use_pallas == "auto":
             use_pallas = jax.devices()[0].platform not in ("cpu",)
-        cv_fn = None
+        cv_fn = warp_cv_fn = None
         if use_pallas:
-            from pwcnet_tpu.ops.pallas import cost_volume_pallas
+            from pwcnet_tpu.ops.pallas import (
+                cost_volume_pallas,
+                warped_cost_volume,
+            )
 
             cv_fn = cost_volume_pallas
+            if use_fused == "auto":
+                use_fused = warp_type == "bilinear"
+            if use_fused:
+                warp_cv_fn = warped_cost_volume
         self.model = PWCDCNet(
             num_levels=num_levels,
             search_range=search_range,
@@ -77,6 +85,7 @@ class FlowPredictor:
             output_level=output_level,
             dtype=dtype,
             cost_volume_fn=cv_fn,
+            warp_cv_fn=warp_cv_fn,
         )
         self.num_levels = num_levels
         self.crop_factor = 2**num_levels

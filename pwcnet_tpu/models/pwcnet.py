@@ -65,12 +65,21 @@ class PWCDCNet(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     cost_volume_fn: Any = None  # override (e.g. Pallas fused kernel)
+    # fused warp+cost-volume: called as (f0, f1, flow_px, search_range) for
+    # warped levels (e.g. ops.pallas.warped_cost_volume — one VMEM pass, no
+    # warped-feature HBM round trip); requires warp_type == 'bilinear'
+    warp_cv_fn: Any = None
     remat: bool = False  # rematerialize estimators/context in the backward
 
     def setup(self):
         assert self.output_level < self.num_levels, (
             "Should set output_level < num_levels"
         )
+        if self.warp_cv_fn is not None and self.warp_type != "bilinear":
+            raise ValueError(
+                "warp_cv_fn fuses the bilinear warp; use warp_type="
+                f"'bilinear', not {self.warp_type!r}"
+            )
         fp_cls = FeaturePyramidExtractor
         est_cls = FlowEstimator
         ctx_cls = ContextNetwork
@@ -135,11 +144,14 @@ class PWCDCNet(nn.Module):
         flows_up = features_up = None
         for l, (f0, f1) in enumerate(zip(pyramid_0, pyramid_1)):
             if l == 0:
-                f1_warped = f1
+                cv = cv_fn(f0, f1, self.search_range)
+            elif self.warp_cv_fn is not None:
+                cv = self.warp_cv_fn(
+                    f0, f1, flows_up * scales[l], self.search_range
+                )
             else:
                 f1_warped = warp(f1, flows_up * scales[l], self.warp_type)
-
-            cv = cv_fn(f0, f1_warped, self.search_range)
+                cv = cv_fn(f0, f1_warped, self.search_range)
 
             flows, features = self.of_estimators[l](
                 cv, f0, flows_up, features_up

@@ -4,5 +4,10 @@ from pwcnet_tpu.ops.pallas.cost_volume import (
     cost_volume_pallas,
     cost_volume_pallas_hpad,
 )
+from pwcnet_tpu.ops.pallas.warped_cv import warped_cost_volume
 
-__all__ = ["cost_volume_pallas", "cost_volume_pallas_hpad"]
+__all__ = [
+    "cost_volume_pallas",
+    "cost_volume_pallas_hpad",
+    "warped_cost_volume",
+]

@@ -1,0 +1,359 @@
+"""Fused bilinear-warp + cost-volume Pallas TPU kernel.
+
+The reference's hot path warps frame-1 features with four `tf.gather_nd`
+calls and then builds an 81-tap cost volume over the warped map
+(/root/reference/modules.py:99-204). Round 1 replaced the gathers with one
+XLA patch gather and the cost volume with a VMEM-resident Pallas kernel —
+but the *warped feature map* still made a full HBM round trip between the
+two ops, and the XLA gather itself is the single most expensive op left in
+the profile. This kernel removes both: the bilinear warp is computed
+in-VMEM per H-tile and correlated immediately.
+
+The warp cannot be a gather on TPU (per-pixel vector gathers do not
+vectorize on the VPU and Mosaic rejects dynamic lane slices). Instead it is
+expressed as a *candidate-offset tent filter*:
+
+- Every output pixel reads the 2x2 corner neighborhood at
+  ``clamp(floor(p + flow(p)))`` — reference semantics: corners clamped
+  independently, weights from the unclamped fractional flow
+  (modules.py:113-137). With a 1-pixel edge-replicated border the corner
+  index becomes ``rel = clip(p + floor(flow), -1, size-1) + 1 - p`` so the
+  two corners are at relative integer offsets ``rel`` and ``rel + 1``.
+- Per (batch, H-tile) the XLA side precomputes ``[min(rel), max(rel)]``
+  over the tile's halo'd stripe (a cheap reduction) and passes them as
+  SMEM scalars. The kernel then loops over just those candidate offsets:
+  a vertical candidate is a dynamic-start row slice of the VMEM-resident
+  frame (rows are the untiled dimension — free), a horizontal candidate is
+  one ``pltpu.roll`` lane rotation, and each pixel's tent weight
+  ``wy*(rel_v==kv) + ...`` selects its own two corners. Smooth flow fields
+  (the common case for coarse-to-fine refinement) need only a handful of
+  candidates per tile; discontinuous tiles just run more fori_loop
+  iterations — never incorrect, only slower.
+- The warped stripe lands in a VMEM scratch with a 2d-lane margin and
+  zeroed out-of-frame rows/cols (the cost volume's zero-pad boundary,
+  modules.py:158-181), and the 81-tap correlation + LeakyReLU(0.1) runs
+  exactly like `cost_volume_pallas` — without re-reading anything from HBM.
+
+Layout matches the cost-volume kernel: (B, H, C|taps, W) — W in lanes, C in
+sublanes, H untiled (dynamic row offsets are free there).
+
+Backward (custom VJP) reuses the optimized round-1 pieces: recompute the
+warped map once with the XLA patch-gather warp, run the Pallas cost-volume
+backward correlation kernels, then the warp's row-scatter backward. Only
+the forward/inference path pays zero gather cost; training pays one warp
+recompute in the backward (the same total work as the unfused pipeline).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warped_cost_volume"]
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _wcv_vmem_bytes(h, w, c, d, th, itemsize):
+    """VMEM demand of the fused kernel's blocks + scratch (lane padding
+    included; 2x for Pallas double-buffering of the tiled blocks)."""
+    s = th + 2 * d
+    taps = (2 * d + 1) ** 2
+    wl = _round_up(w + 2 * d, 128)
+    f1e = (h + 2 + 2 * s) * c * wl * itemsize
+    flow = (h + 2 * d) * 8 * wl * 4
+    f0_tile = th * c * _round_up(w, 128) * itemsize
+    sub = 16 if itemsize == 2 else 8
+    out_tile = th * _round_up(taps, sub) * _round_up(w, 128) * itemsize
+    scratch = 2 * s * c * wl * 4  # ws + hacc, f32
+    return f1e + flow + scratch + 2 * (f0_tile + out_tile)
+
+
+def _pick_tile(h, w, c, d, itemsize, max_tile: int = 32):
+    """Largest divisor of h (<= max_tile) whose kernel fits VMEM."""
+    for t in range(min(h, max_tile), 0, -1):
+        if h % t:
+            continue
+        if _wcv_vmem_bytes(h, w, c, d, t, itemsize) <= _VMEM_BUDGET:
+            return t
+    return None
+
+
+def _lane_roll(x, ku, d: int, interpret: bool):
+    """Lane rotation so output lane x' holds input lane x' + ku - d.
+
+    pltpu.roll supports a traced (dynamic) shift when compiled by Mosaic,
+    but measured on v5e: dynamic *negative* shifts are lowered wrong for
+    lane widths > 256 (off by -128 at width 384), so the shift is always
+    passed as its non-negative residue mod the lane width. Mosaic's roll
+    interpret path rejects traced shifts — tests use jnp.roll (identical:
+    wrapped lanes always carry zero tent weight)."""
+    width = x.shape[2]
+    shift = jnp.mod(d - ku, width)
+    if interpret:
+        return jnp.roll(x, shift, 2)
+    return pltpu.roll(x, shift, 2)
+
+
+def _wcv_kernel(
+    s_ref,
+    flow_ref,
+    f0_ref,
+    f1e_ref,
+    out_ref,
+    ws_ref,
+    hacc_ref,
+    *,
+    d: int,
+    h: int,
+    w: int,
+    inv_c: float,
+    interpret: bool,
+):
+    """One (batch, H-tile) grid step.
+
+    s_ref:    (1, 4, T) SMEM   [vmin, nv, umin, nu] candidate ranges per tile
+    flow_ref: (1, H+2d, 2, W+2d) VMEM  flow (x, y), zero-padded
+    f0_ref:   (1, TH, C, W)    VMEM tile
+    f1e_ref:  (1, H+2+2S, C, WL) VMEM  frame-1: 1-px edge pad, S-row zero
+              pad, lanes zero-padded to WL = roundup(W+2d, 128)
+    out_ref:  (1, TH, T, W)    VMEM tile (T = (2d+1)^2 taps)
+    ws_ref:   (S, C, W+2d) f32 scratch — warped stripe, zero margin
+    hacc_ref: (S, C, W+2d) f32 scratch — per-kv horizontal accumulator
+    """
+    th = out_ref.shape[1]
+    s_rows = th + 2 * d
+    n = 2 * d + 1
+    w2d = w + 2 * d
+    f32 = jnp.float32
+
+    ti = pl.program_id(1)
+    row0 = ti * th
+
+    vmin = s_ref[0, 0, ti]
+    nv = s_ref[0, 1, ti]
+    umin = s_ref[0, 2, ti]
+    nu = s_ref[0, 3, ti]
+
+    fx = flow_ref[0, pl.ds(row0, s_rows), 0, :].astype(f32)  # (S, W+2d)
+    fy = flow_ref[0, pl.ds(row0, s_rows), 1, :].astype(f32)
+    gy = (
+        lax.broadcasted_iota(jnp.int32, (s_rows, w2d), 0).astype(f32)
+        + lax.convert_element_type(row0 - d, f32)
+    )
+    gx = lax.broadcasted_iota(jnp.int32, (s_rows, w2d), 1).astype(f32) - float(d)
+    fy0 = jnp.floor(fy)
+    fx0 = jnp.floor(fx)
+    # relative offsets of the top-left corner in the edge-padded frame
+    rel_v = jnp.clip(gy + fy0, -1.0, float(h - 1)) + 1.0 - gy
+    rel_u = jnp.clip(gx + fx0, -1.0, float(w - 1)) + 1.0 - gx
+    wy1 = fy - fy0
+    wy0 = 1.0 - wy1
+    wx1 = fx - fx0
+    wx0 = 1.0 - wx1
+    # out-of-frame stripe pixels contribute zeros (cost-volume zero pad)
+    valid = jnp.where(
+        (gy >= 0.0)
+        & (gy <= float(h - 1))
+        & (gx >= 0.0)
+        & (gx <= float(w - 1)),
+        jnp.asarray(1.0, f32),
+        jnp.asarray(0.0, f32),
+    )
+
+    ws_ref[...] = jnp.zeros(ws_ref.shape, ws_ref.dtype)
+
+    def v_body(iv, carry):
+        kv = vmin + iv
+        kvf = lax.convert_element_type(kv, f32)
+        wv = (
+            jnp.where(rel_v == kvf, wy0, 0.0)
+            + jnp.where(rel_v == kvf - 1.0, wy1, 0.0)
+        ) * valid
+        # stripe row i sources padded frame row (row0 - d + i) + kv + S.
+        # Cast to f32 before the lane rotation: Mosaic's rotate only
+        # handles 32-bit lanes (bf16 inputs would fail to compile).
+        stripe = f1e_ref[0, pl.ds(row0 - d + kv + s_rows, s_rows), :, :].astype(
+            f32
+        )
+        hacc_ref[...] = jnp.zeros(hacc_ref.shape, hacc_ref.dtype)
+
+        def u_body(iu, c2):
+            ku = umin + iu
+            kuf = lax.convert_element_type(ku, f32)
+            wu = jnp.where(rel_u == kuf, wx0, 0.0) + jnp.where(
+                rel_u == kuf - 1.0, wx1, 0.0
+            )
+            rolled = _lane_roll(stripe, ku, d, interpret)[:, :, :w2d]
+            hacc_ref[...] += wu[:, None, :] * rolled
+            return c2
+
+        lax.fori_loop(0, nu, u_body, 0)
+        ws_ref[...] += wv[:, None, :] * hacc_ref[...]
+        return carry
+
+    lax.fori_loop(0, nv, v_body, 0)
+
+    # -- correlation over the in-VMEM warped stripe (as cost_volume_pallas)
+    f0t = f0_ref[0].astype(f32)  # (TH, C, W)
+    scale = jnp.asarray(inv_c, f32)
+    for v in range(n):
+        vs = ws_ref[v : v + th, :, :]  # (TH, C, W+2d)
+        for u in range(n):
+            win = vs[:, :, u : u + w]
+            cost = jnp.sum(f0t * win, axis=1) * scale  # (TH, W)
+            cost = jnp.where(cost >= 0, cost, cost * jnp.asarray(0.1, f32))
+            out_ref[0, :, v * n + u, :] = cost.astype(out_ref.dtype)
+
+
+def _wcv_forward(f0, f1, flow, *, d: int, th: int, interpret: bool):
+    b, h, w, c = f0.shape
+    s_rows = th + 2 * d
+    n = 2 * d + 1
+    wl = _round_up(w + 2 * d, 128)
+    f32 = jnp.float32
+    flow32 = flow.astype(f32)
+
+    # per-(batch, tile) candidate ranges over the halo'd stripe
+    gy = jnp.arange(h, dtype=f32)[None, :, None]
+    gx = jnp.arange(w, dtype=f32)[None, None, :]
+    fx = flow32[..., 0]
+    fy = flow32[..., 1]
+    rel_v = jnp.clip(gy + jnp.floor(fy), -1.0, h - 1.0) + 1.0 - gy
+    rel_u = jnp.clip(gx + jnp.floor(fx), -1.0, w - 1.0) + 1.0 - gx
+    n_tiles = h // th
+
+    def tile_ranges(rel):
+        row_min = jnp.pad(
+            rel.min(axis=2), ((0, 0), (d, d)), constant_values=jnp.inf
+        )
+        row_max = jnp.pad(
+            rel.max(axis=2), ((0, 0), (d, d)), constant_values=-jnp.inf
+        )
+        mins = jnp.stack(
+            [row_min[:, i * th : i * th + s_rows].min(1) for i in range(n_tiles)],
+            axis=1,
+        )
+        maxs = jnp.stack(
+            [row_max[:, i * th : i * th + s_rows].max(1) for i in range(n_tiles)],
+            axis=1,
+        )
+        return mins, maxs - mins + 2.0  # candidates kv in [min, max+1]
+
+    vmin_t, nv_t = tile_ranges(rel_v)
+    umin_t, nu_t = tile_ranges(rel_u)
+    scal = jnp.stack([vmin_t, nv_t, umin_t, nu_t], axis=1).astype(jnp.int32)
+
+    f1e = jnp.pad(f1, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    f1e = jnp.transpose(f1e, (0, 1, 3, 2))  # (B, h+2, c, w+2)
+    f1e = jnp.pad(f1e, ((0, 0), (s_rows, s_rows), (0, 0), (0, wl - (w + 2))))
+
+    flow_t = jnp.transpose(flow32, (0, 1, 3, 2))  # (B, h, 2, w)
+    flow_t = jnp.pad(flow_t, ((0, 0), (d, d), (0, 0), (d, d)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _wcv_kernel, d=d, h=h, w=w, inv_c=1.0 / c, interpret=interpret
+        ),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4, n_tiles),
+                lambda bi, i: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, h + 2 * d, 2, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, c, w),
+                lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h + 2 + 2 * s_rows, c, wl),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, n * n, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, n * n, w), f0.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((s_rows, c, w + 2 * d), f32),
+            pltpu.VMEM((s_rows, c, w + 2 * d), f32),
+        ],
+        interpret=interpret,
+    )(scal, flow_t, jnp.transpose(f0, (0, 1, 3, 2)), f1e)
+    return jnp.transpose(out, (0, 1, 3, 2))  # NHWC (..., taps)
+
+
+def warped_cost_volume(
+    f0,
+    f1,
+    flow,
+    search_range: int = 4,
+    tile_h: int | None = None,
+    interpret: bool = False,
+):
+    """Fused ``cost_volume(f0, bilinear_warp(f1, flow), d)`` in one pass.
+
+    ``flow`` is in pixel units at this level (the caller applies the
+    ``20 / 2**(num_levels - l)`` scale). Falls back to the composed
+    warp -> cost_volume_pallas path when the kernel's VMEM demand exceeds
+    the budget (both pieces gate their own fallbacks further)."""
+    b, h, w, c = f0.shape
+    d = int(search_range)
+    th = tile_h or _pick_tile(h, w, c, d, jnp.dtype(f0.dtype).itemsize)
+    if th is None:
+        from pwcnet_tpu.ops.pallas.cost_volume import cost_volume_pallas
+        from pwcnet_tpu.ops.warp import bilinear_warp
+
+        return cost_volume_pallas(
+            f0, bilinear_warp(f1, flow), d, None, interpret
+        )
+    return _warped_cv_vjp(f0, f1, flow, d, th, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _warped_cv_vjp(f0, f1, flow, search_range, tile_h, interpret):
+    return _wcv_forward(
+        f0, f1, flow, d=search_range, th=tile_h, interpret=interpret
+    )
+
+
+def _wcv_fwd(f0, f1, flow, search_range, tile_h, interpret):
+    out = _wcv_forward(
+        f0, f1, flow, d=search_range, th=tile_h, interpret=interpret
+    )
+    return out, (f0, f1, flow, out)
+
+
+def _wcv_bwd(search_range, tile_h, interpret, res, g):
+    """Compose the optimized backward pieces: one XLA warp recompute, the
+    Pallas cost-volume backward correlations, the warp row-scatter VJP."""
+    f0, f1, flow, out = res
+    from pwcnet_tpu.ops.pallas.cost_volume import _cv_bwd
+    from pwcnet_tpu.ops.warp import _bilinear_warp_bwd, bilinear_warp
+
+    f1w = bilinear_warp(f1, flow)
+    df0, df1w = _cv_bwd(search_range, None, interpret, (f0, f1w, out), g)
+    df1, dflow = _bilinear_warp_bwd((f1, flow), df1w)
+    return df0, df1, dflow
+
+
+_warped_cv_vjp.defvjp(_wcv_fwd, _wcv_bwd)

@@ -99,7 +99,7 @@ class Trainer:
 
     def _build_model(self):
         args = self.args
-        cv_fn = None
+        cv_fn = warp_cv_fn = None
         if self.mesh.shape.get("spatial", 1) > 1:
             # explicit shard_map path: ppermute halo exchange over ICI,
             # fused Pallas kernel per shard (XLA slices when --no-pallas)
@@ -109,9 +109,19 @@ class Trainer:
                 self.mesh, use_pallas=bool(getattr(args, "pallas", False))
             )
         elif getattr(args, "pallas", False):
-            from pwcnet_tpu.ops.pallas import cost_volume_pallas
+            from pwcnet_tpu.ops.pallas import (
+                cost_volume_pallas,
+                warped_cost_volume,
+            )
 
             cv_fn = cost_volume_pallas
+            if (
+                getattr(args, "fused", True)
+                and args.warp_type == "bilinear"
+            ):
+                # one VMEM pass for warp+correlation in the forward; the
+                # backward recomputes the warp with the XLA patch gather
+                warp_cv_fn = warped_cost_volume
         import jax.numpy as jnp
 
         dtype = (
@@ -127,6 +137,7 @@ class Trainer:
             use_dc=args.use_dc,
             output_level=args.output_level,
             cost_volume_fn=cv_fn,
+            warp_cv_fn=warp_cv_fn,
             remat=getattr(args, "remat", False),
         )
         h, w = self.image_size

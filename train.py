@@ -116,6 +116,10 @@ def build_parser():
                         "(TPU only)")
     parser.add_argument("--no-pallas", dest="pallas", action="store_false")
     parser.set_defaults(pallas=None)  # auto: on for TPU, off for CPU
+    parser.add_argument("--no-fused", dest="fused", action="store_false",
+                        help="Disable the fused warp+cost-volume kernel "
+                        "(on by default with --pallas and bilinear warp)")
+    parser.set_defaults(fused=True)
     return parser
 
 
