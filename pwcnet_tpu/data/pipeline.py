@@ -229,10 +229,14 @@ def device_prefetch(
     """
     import jax
 
+    from pwcnet_tpu.parallel.mesh import put_global
+
     def _put(batch):
         if sharding is not None:
+            # multi-process aware: each process contributes its slice of
+            # the global batch (see parallel.mesh.put_global)
             return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch
+                lambda x: put_global(x, sharding), batch
             )
         return jax.tree_util.tree_map(jax.device_put, batch)
 

@@ -4,6 +4,7 @@ from pwcnet_tpu.parallel.spatial import make_spatial_cost_volume
 from pwcnet_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    put_global,
     replicated_sharding,
     shard_batch,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "make_spatial_cost_volume",
     "make_mesh",
     "batch_sharding",
+    "put_global",
     "replicated_sharding",
     "shard_batch",
 ]

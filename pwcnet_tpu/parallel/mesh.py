@@ -19,7 +19,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "put_global",
+]
 
 
 def make_mesh(
@@ -59,12 +65,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place a host batch under ``sharding``, multi-process aware.
+
+    Single process: plain ``device_put``. Multi-process (after
+    ``jax.distributed.initialize``): ``x`` is this process's share of the
+    global batch — the loader already yields a disjoint per-process slice
+    (`data/pipeline.py` process_index/process_count) — and the global
+    array is assembled with ``make_array_from_process_local_data`` (batch
+    grows by process_count along axis 0; processes own contiguous device
+    blocks in ``make_mesh``'s jax.devices() ordering).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    global_shape = (x.shape[0] * jax.process_count(),) + tuple(x.shape[1:])
+    return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+
 def shard_batch(batch, mesh: Mesh, spatial: bool = False):
     """device_put an (images, flows) host batch into its mesh layout."""
     images, flows = batch
     img_sh = batch_sharding(mesh, 2 if spatial else None)
     flo_sh = batch_sharding(mesh, 1 if spatial else None)
     return (
-        jax.device_put(images, img_sh),
-        jax.device_put(flows, flo_sh),
+        put_global(images, img_sh),
+        put_global(flows, flo_sh),
     )

@@ -40,22 +40,35 @@ from pwcnet_tpu.utils.flow_viz import vis_flow_pyramid
 __all__ = ["Trainer"]
 
 
+class _NullLogger:
+    """No-op MetricsLogger stand-in for non-zero processes."""
+
+    def log(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(self, args, mesh=None, spatial: int = 1):
         self.args = args
+        self.is_main = jax.process_index() == 0
         if mesh is None:
-            # data axis must divide the global batch; use the largest
-            # device count that does (leftover devices idle, warned).
+            # data axis must divide the global batch (per-process
+            # batch_size x process_count); use the largest device count
+            # that does (leftover devices idle, warned).
             import math
 
             import jax as _jax
 
+            global_batch = args.batch_size * _jax.process_count()
             avail = len(_jax.devices()) // spatial
-            data = math.gcd(args.batch_size, avail)
-            if data * spatial < len(_jax.devices()):
+            data = math.gcd(global_batch, avail)
+            if data * spatial < len(_jax.devices()) and self.is_main:
                 print(
                     f"note: using {data * spatial}/{len(_jax.devices())} "
-                    f"devices (batch_size {args.batch_size} limits the "
+                    f"devices (global batch {global_batch} limits the "
                     "data axis)"
                 )
             mesh = make_mesh(
@@ -169,6 +182,14 @@ class Trainer:
         )
 
     def _build_logging(self):
+        """Metrics/artifacts are written by process 0 only (multi-host:
+        params and metrics are replicated, so other processes would write
+        identical copies)."""
+        if not self.is_main:
+            self.logdir = None
+            self.tlogger = self.vlogger = _NullLogger()
+            self.exp_saver = None
+            return
         logdir = "logs/history_" + timestamp()
         self.logdir = logdir
         self.tlogger = MetricsLogger(logdir + "/train")
@@ -178,10 +199,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _put(self, batch):
+        from pwcnet_tpu.parallel import put_global
+
         images, flows = batch
         return (
-            jax.device_put(images, self.batch_shardings[0]),
-            jax.device_put(flows, self.batch_shardings[1]),
+            put_global(images, self.batch_shardings[0]),
+            put_global(flows, self.batch_shardings[1]),
         )
 
     def _install_preemption_handler(self):
@@ -205,9 +228,12 @@ class Trainer:
             except ValueError:  # not the main thread
                 break
 
-    def _save_state(self, stem: str) -> str:
+    def _save_state(self, stem: str) -> str | None:
         """Save the TrainState under ./model/<stem> with the configured
-        backend (msgpack file or orbax directory)."""
+        backend (msgpack file or orbax directory). Process 0 only (the
+        state is replicated across processes)."""
+        if not self.is_main:
+            return None
         os.makedirs("./model", exist_ok=True)
         if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
             return save_checkpoint_orbax(f"./model/{stem}", self.state)
@@ -237,7 +263,8 @@ class Trainer:
                 desc=f"epoch {epoch + 1}/{args.num_epochs}",
                 unit="batch",
                 leave=False,
-                disable=None,  # auto-off on non-tty
+                # auto-off on non-tty; always off on non-zero processes
+                disable=None if self.is_main else True,
                 dynamic_ncols=True,
             )
             for images, flows_gt in device_prefetch(
@@ -288,7 +315,13 @@ class Trainer:
                 )
 
             # -- visualization --------------------------------------------
-            if args.visualize and val_batch is not None:
+            # multi-process: skipped — the batch rows are sharded across
+            # processes, and only process 0 could fetch row 0 anyway
+            if (
+                args.visualize
+                and val_batch is not None
+                and jax.process_count() == 1
+            ):
                 os.makedirs("./figure", exist_ok=True)
                 images, flows_gt = val_batch
                 _, pyramid = self.forward(
@@ -307,18 +340,20 @@ class Trainer:
 
             # -- checkpoint ------------------------------------------------
             self._save_state(f"model_{epoch + 1}")
-            print(
-                f"epoch {epoch + 1}/{args.num_epochs} step {g_step} "
-                + (
-                    f"loss {float(last_metrics['loss']):.4f} "
-                    f"epe {float(last_metrics['epe']):.4f}"
-                    if last_metrics is not None
-                    else ""
+            if self.is_main:
+                print(
+                    f"epoch {epoch + 1}/{args.num_epochs} step {g_step} "
+                    + (
+                        f"loss {float(last_metrics['loss']):.4f} "
+                        f"epe {float(last_metrics['epe']):.4f}"
+                        if last_metrics is not None
+                        else ""
+                    )
                 )
-            )
 
         self.tlogger.close()
         self.vlogger.close()
-        self.exp_saver.append(["./figure", "./model"])
-        self.exp_saver.save()
+        if self.exp_saver is not None:
+            self.exp_saver.append(["./figure", "./model"])
+            self.exp_saver.save()
         return self.state

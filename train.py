@@ -102,6 +102,17 @@ def build_parser():
                         help="Train-metric logging interval in steps [1000]")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (tpu/cpu) [auto]")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="Multi-host: coordinator address host:port "
+                        "for jax.distributed.initialize. On TPU pods "
+                        "where the cluster is auto-detectable, pass "
+                        "'auto' instead. [None = single process]")
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="Multi-host: total process count "
+                        "(with --coordinator host:port)")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="Multi-host: this process's index "
+                        "(with --coordinator host:port)")
     parser.add_argument("--spatial", type=int, default=1,
                         help="Mesh size of the spatial (H) axis [1]")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
@@ -134,6 +145,26 @@ def main(argv=None):
 
         # a sitecustomize may have pinned jax_platforms already
         jax.config.update("jax_platforms", args.platform)
+
+    if args.coordinator:
+        # multi-host bring-up: must run before any backend initialization.
+        # DCN/ICI collectives are then inserted by XLA over the global
+        # mesh; the data loader takes this process's 1/num_processes slice
+        # (SURVEY.md §5 distributed-communication row).
+        import jax
+
+        if args.coordinator == "auto":
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        print(
+            f"distributed: process {jax.process_index()}/"
+            f"{jax.process_count()}, {len(jax.devices())} global devices"
+        )
 
     from pwcnet_tpu.train_lib.trainer import Trainer
 
