@@ -225,20 +225,23 @@ def device_prefetch(
     Host->HBM transfers are issued from a background thread so decode,
     transfer, and compute overlap; with a NamedSharding each batch is
     placed directly into its sharded layout (per-device slices go over
-    PCIe once, no host-side gather).
+    PCIe once, no host-side gather). ``sharding`` may be a single
+    NamedSharding for every leaf, or a pytree matching the batch
+    structure (e.g. distinct image/flow shardings for H-spatial runs).
     """
     import jax
 
     from pwcnet_tpu.parallel.mesh import put_global
 
     def _put(batch):
-        if sharding is not None:
-            # multi-process aware: each process contributes its slice of
-            # the global batch (see parallel.mesh.put_global)
-            return jax.tree_util.tree_map(
-                lambda x: put_global(x, sharding), batch
-            )
-        return jax.tree_util.tree_map(jax.device_put, batch)
+        if sharding is None:
+            return jax.tree_util.tree_map(jax.device_put, batch)
+        if isinstance(sharding, (tuple, list)):
+            # per-leaf shardings; multi-process aware (put_global)
+            return jax.tree_util.tree_map(put_global, batch, tuple(sharding))
+        return jax.tree_util.tree_map(
+            lambda x: put_global(x, sharding), batch
+        )
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()

@@ -249,11 +249,15 @@ def _cv_bwd_df1_kernel(gtp_ref, f0p_ref, out_ref, *, d: int):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _bwd_vmem_bytes(b, h, w, c, d):
-    """Rough VMEM demand of the df1 kernel's full blocks (bytes, f32)."""
+def _bwd_vmem_bytes(b, h, w, c, d, itemsize: int = 4):
+    """VMEM demand of the df1 kernel's full blocks, with physical lane
+    (128) and sublane (8) padding: the f32 gt block dominates — e.g. the
+    81 taps pad to 88 sublanes and W+2d=264 lanes pad to 384."""
     taps = (2 * d + 1) ** 2
-    full = (h + 2 * d) * (w + 2 * d) * (taps + c) * 4
-    return full
+    lanes = _round_up(w + 2 * d, 128)
+    gt_full = (h + 2 * d) * _round_up(taps, 8) * lanes * 4  # always f32
+    f_full = (h + 2 * d) * c * lanes * itemsize
+    return gt_full + f_full
 
 
 def _cv_bwd(search_range, tile_h, interpret, res, g):
@@ -271,7 +275,9 @@ def _cv_bwd(search_range, tile_h, interpret, res, g):
     th = tile_h or _round_tile(h)
     n_taps = 2 * d + 1
 
-    if _bwd_vmem_bytes(b, h, w, c, d) > 12 * 1024 * 1024:
+    if _bwd_vmem_bytes(
+        b, h, w, c, d, jnp.dtype(f0.dtype).itemsize
+    ) > 12 * 1024 * 1024:
         return _cv_bwd_xla(f0, f1, g, d)
 
     # gt = g * leaky'(raw) / C; sign(out) == sign(raw). Kept in float32:
@@ -417,9 +423,103 @@ def _cv_hpad_fwd(f0, f1_ext, search_range, tile_h, interpret):
 
 def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
     """df0 local; df1_ext keeps the halo rows (uncropped in H) so the
-    shard_map transpose routes them back to the neighbor shards."""
+    shard_map transpose routes them back to the neighbor shards.
+
+    Runs as the same two Pallas correlation kernels as the plain backward
+    (`_cv_bwd_df0_kernel`/`_cv_bwd_df1_kernel`): df0 is byte-identical to
+    the plain case (f1_ext already carries the d halo rows the kernel
+    expects as padding), and df1_ext reuses the df1 kernel with gt/f0
+    zero-padded by 2d rows so the output grid covers the h+2d extended
+    rows — the dynamic row index ``row0 + 2d - v`` then lands exactly on
+    contribution row ``q - v``. XLA shift-op fallback when the full VMEM
+    blocks would not fit."""
     f0, f1_ext, out = res
     d = search_range
+    b, h, w, c = f0.shape
+    he = h + 2 * d
+    n_taps = 2 * d + 1
+
+    if not (
+        interpret
+        or _bwd_vmem_bytes(
+            b, he, w, c, d, jnp.dtype(f0.dtype).itemsize
+        )
+        <= 12 * 1024 * 1024
+    ):
+        return _cv_hpad_bwd_xla(res, g, d)
+
+    # gt = g * leaky'(raw) / C, float32 (see _cv_bwd for the bf16 caveat)
+    gt = g.astype(jnp.float32) * _leaky_grad(out) * jnp.float32(1.0 / c)
+    gt_t = jnp.transpose(gt, (0, 1, 3, 2))  # (B, H, T, W)
+
+    # -- df0: identical to the plain backward; f1_ext == "f1 padded by d"
+    f1p_t = jnp.transpose(
+        jnp.pad(f1_ext, ((0, 0), (0, 0), (d, d), (0, 0))), (0, 1, 3, 2)
+    )  # (B, H+2d, C, W+2d)
+    th = tile_h or _round_tile(h)
+    df0 = pl.pallas_call(
+        functools.partial(_cv_bwd_df0_kernel, d=d),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, n_taps * n_taps, w),
+                lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h + 2 * d, c, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, c, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, c, w), f0.dtype),
+        interpret=interpret,
+    )(gt_t, f1p_t)
+
+    # -- df1_ext over the h+2d extended rows: pad gt/f0 rows by 2d so the
+    # kernel's row0+2d-v slices stay in-bounds for halo output rows
+    gtp_t = jnp.pad(gt_t, ((0, 0), (2 * d, 2 * d), (0, 0), (d, d)))
+    f0p_t = jnp.transpose(
+        jnp.pad(f0, ((0, 0), (2 * d, 2 * d), (d, d), (0, 0))), (0, 1, 3, 2)
+    )  # (B, H+4d, C, W+2d)
+    th_e = _round_tile(he)
+    df1_ext = pl.pallas_call(
+        functools.partial(_cv_bwd_df1_kernel, d=d),
+        grid=(b, he // th_e),
+        in_specs=[
+            pl.BlockSpec(
+                (1, h + 4 * d, n_taps * n_taps, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h + 4 * d, c, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th_e, c, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, he, c, w), f1_ext.dtype),
+        interpret=interpret,
+    )(gtp_t, f0p_t)
+    return (
+        jnp.transpose(df0, (0, 1, 3, 2)),
+        jnp.transpose(df1_ext, (0, 1, 3, 2)),
+    )
+
+
+def _cv_hpad_bwd_xla(res, g, d):
+    """XLA shift-op fallback for the H-prepadded backward."""
+    f0, f1_ext, out = res
     b, h, w, c = f0.shape
     inv_c = jnp.asarray(1.0 / c, f0.dtype)
     # W-pad only; H halos are already in f1_ext.

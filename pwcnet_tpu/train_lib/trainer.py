@@ -176,9 +176,13 @@ class Trainer:
         self.train_step = make_train_step(self.model, **loss_kwargs)
         self.eval_step = make_eval_step(self.model, **loss_kwargs)
         self.forward = make_forward(self.model)
+        # under --spatial N batches land H-sharded from the host (images
+        # (B,2,H,W,3): H axis 2; flows (B,H,W,2): H axis 1) — otherwise
+        # GSPMD reshards every step
+        spatial_on = self.mesh.shape.get("spatial", 1) > 1
         self.batch_shardings = (
-            batch_sharding(self.mesh),
-            batch_sharding(self.mesh),
+            batch_sharding(self.mesh, 2 if spatial_on else None),
+            batch_sharding(self.mesh, 1 if spatial_on else None),
         )
 
     def _build_logging(self):
@@ -268,7 +272,7 @@ class Trainer:
                 dynamic_ncols=True,
             )
             for images, flows_gt in device_prefetch(
-                iter(self.tloader), sharding=self.batch_shardings[0]
+                iter(self.tloader), sharding=self.batch_shardings
             ):
                 # flows arrive with the images' sharding layout already
                 self.state, metrics = self.train_step(

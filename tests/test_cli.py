@@ -266,3 +266,23 @@ class TestOrbaxBackendCLI:
         ckpt = next((tmp_path / "logs").glob("history_*/model/model_1"))
         assert ckpt.is_dir()
         train_cli.main(args + ["-r", str(ckpt)])
+
+
+class TestSpatialTrainerCLI:
+    @pytest.mark.slow
+    def test_spatial_mesh_training(self, tmp_path, monkeypatch):
+        """--spatial 2 trains on a (data x spatial) mesh with batches
+        landing H-sharded from the host (no GSPMD reshard per step)."""
+        from jax.sharding import PartitionSpec as P
+
+        monkeypatch.chdir(tmp_path)
+        trainer = train_cli.main(
+            ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
+             "--crop_type", "none", "--no-visualize", "--spatial", "2",
+             "--no-pallas"] + TINY_MODEL
+        )
+        assert dict(trainer.mesh.shape) == {"data": 4, "spatial": 2}
+        assert trainer.batch_shardings[0].spec == P("data", None, "spatial")
+        assert trainer.batch_shardings[1].spec == P("data", "spatial")
+        logs = list((tmp_path / "logs").glob("history_*"))
+        assert (logs[0] / "model" / "model_1.msgpack").exists()

@@ -174,6 +174,7 @@ def main(argv=None):
         args.pallas = jax.devices()[0].platform not in ("cpu",)
     trainer = Trainer(args, spatial=args.spatial)
     trainer.train()
+    return trainer
 
 
 if __name__ == "__main__":
