@@ -10,6 +10,9 @@ loop (test.py:48-53). This module provides:
   and repeated identical dispatches may be memoized;
 - `trace`: context manager around jax.profiler for capturing XLA/TPU
   traces viewable in TensorBoard/Perfetto;
+- `op_profile`: per-op device-time table straight from a captured trace's
+  xplane proto (no TensorBoard needed) — the tool behind the per-op
+  breakdown in docs/DESIGN.md;
 - `flops_estimate`: XLA cost analysis (FLOPs / bytes) of a jitted fn.
 """
 
@@ -23,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["device_timeit", "trace", "flops_estimate"]
+__all__ = ["device_timeit", "trace", "op_profile", "flops_estimate"]
 
 
 def device_timeit(
@@ -69,6 +72,58 @@ def trace(logdir: str = "/tmp/jax-trace"):
         yield logdir
     finally:
         jax.profiler.stop_trace()
+
+
+def op_profile(fn: Callable, *args, iters: int = 3, logdir: str | None = None):
+    """Per-op device-time table for ``jit(fn)(*args)``.
+
+    Captures a jax.profiler trace, parses the xplane proto directly, and
+    aggregates the synchronous op timeline of the first device plane
+    (TPU when present, host otherwise). Returns rows sorted by total
+    time: ``{"name", "ms_per_iter", "count"}``. The reference has no
+    analogue (its only tool is the --time wall-clock loop, test.py:48-53).
+    """
+    import tempfile
+    from collections import defaultdict
+    from pathlib import Path
+
+    logdir = logdir or tempfile.mkdtemp(prefix="pwc-op-profile-")
+    jitted = jax.jit(fn)
+    first = jax.tree_util.tree_leaves(jitted(*args))[0]
+    float(jnp.mean(first.astype(jnp.float32)))  # compile + sync (fetch)
+    jax.profiler.start_trace(logdir)
+    for _ in range(iters):
+        out = jitted(*args)
+    first = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.mean(first.astype(jnp.float32)))
+    jax.profiler.stop_trace()
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    agg: dict = defaultdict(lambda: [0.0, 0])
+    for pb in Path(logdir).rglob("*.xplane.pb"):
+        xs = xplane_pb2.XSpace()
+        xs.ParseFromString(pb.read_bytes())
+        device = [p for p in xs.planes if p.name.startswith("/device:")]
+        planes = device or [p for p in xs.planes if p.lines]
+        for plane in planes[:1]:
+            md = plane.event_metadata
+            lines = [
+                ln
+                for ln in plane.lines
+                if ln.name == "XLA Ops" or not device
+            ] or plane.lines
+            for line in lines:
+                for ev in line.events:
+                    name = md[ev.metadata_id].name
+                    agg[name][0] += ev.duration_ps / 1e9
+                    agg[name][1] += 1
+    rows = [
+        {"name": k, "ms_per_iter": v[0] / iters, "count": v[1]}
+        for k, v in agg.items()
+    ]
+    rows.sort(key=lambda r: -r["ms_per_iter"])
+    return rows
 
 
 def flops_estimate(fn: Callable, *args) -> dict:

@@ -187,3 +187,18 @@ class TestShowProgress:
         show_progress(1, 4, 4, width=4)
         out = capsys.readouterr().out
         assert "|----|" in out and "|####|" in out
+
+
+class TestOpProfile:
+    def test_returns_op_rows(self, rng, tmp_path):
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.utils.profiling import op_profile
+
+        x = jnp.asarray(rng.random((64, 64)).astype("float32"))
+        rows = op_profile(
+            lambda a: (a @ a).sum(), x, iters=2, logdir=str(tmp_path)
+        )
+        assert rows, "no profiler events captured"
+        assert {"name", "ms_per_iter", "count"} <= set(rows[0])
+        assert all(r["ms_per_iter"] >= 0 for r in rows)
