@@ -69,6 +69,42 @@ def _round_tile(h: int, max_tile: int = 32) -> int:
     return h
 
 
+def _cv_kernel_windowed(
+    f0_ref, f1p_any, out_ref, f1w_ref, sem, *, d: int, inv_c: float
+):
+    """Windowed forward: like `_cv_kernel` but frame 1 stays in HBM and
+    only the (TH + 2d)-row window this tile reads is DMA'd into a VMEM
+    scratch — used when the full-frame block would not fit VMEM.
+
+    f0_ref:  (1, TH, C, W)        VMEM tile
+    f1p_any: (1, H+2d, C, W+2d)   HBM (memory_space=ANY)
+    out_ref: (1, TH, D*D, W)      VMEM tile
+    f1w_ref: (TH+2d, C, W+2d)     VMEM scratch (the window)
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    th = f0_ref.shape[1]
+    w = out_ref.shape[3]
+    n_taps = 2 * d + 1
+    row0 = i * th
+
+    dma = pltpu.make_async_copy(
+        f1p_any.at[bi, pl.ds(row0, th + 2 * d)], f1w_ref, sem
+    )
+    dma.start()
+    dma.wait()
+
+    f0 = f0_ref[0].astype(jnp.float32)  # (TH, C, W)
+    scale = jnp.float32(inv_c)
+    for v in range(n_taps):
+        stripe = f1w_ref[v : v + th, :, :]  # (TH, C, W+2d)
+        for u in range(n_taps):
+            win = stripe[:, :, u : u + w].astype(jnp.float32)
+            cost = jnp.sum(f0 * win, axis=1) * scale  # (TH, W)
+            cost = jnp.where(cost >= 0, cost, cost * jnp.float32(0.1))
+            out_ref[0, :, v * n_taps + u, :] = cost.astype(out_ref.dtype)
+
+
 def _cv_forward(
     f0,
     f1,
@@ -77,11 +113,27 @@ def _cv_forward(
     tile_h: int | None,
     interpret: bool,
     h_prepadded: bool = False,
+    windowed: bool | None = None,
 ):
     """``h_prepadded``: f1 already carries d extra rows on each side (the
-    spatially-sharded path supplies halo rows exchanged over ICI)."""
+    spatially-sharded path supplies halo rows exchanged over ICI).
+
+    ``windowed``: keep frame 1 in HBM and DMA only each tile's halo'd row
+    window into VMEM (for shapes whose full-frame block does not fit);
+    ``None`` auto-plans from the VMEM estimate."""
     b, h, w, c = f0.shape
-    th = tile_h or _round_tile(h)
+    if windowed is None or tile_h is None:
+        mode, plan_th = _plan_fwd(
+            h, w, c, d, jnp.dtype(f0.dtype).itemsize, tile_h
+        )
+        if windowed is None:
+            if mode is None:
+                # even one windowed tile row would not fit VMEM: XLA
+                # slice formulation (the backward falls back likewise)
+                return _cv_fwd_xla(f0, f1, d, h_prepadded)
+            windowed = mode == "windowed"
+        tile_h = tile_h or plan_th
+    th = tile_h
     n_taps = 2 * d + 1
 
     f0_t = jnp.transpose(f0, (0, 1, 3, 2))  # (B, H, C, W)
@@ -90,9 +142,27 @@ def _cv_forward(
         jnp.pad(f1, (h_pad[0], h_pad[1], (d, d), (0, 0))), (0, 1, 3, 2)
     )  # (B, H+2d, C, W+2d)
 
+    if windowed:
+        kernel = functools.partial(
+            _cv_kernel_windowed, d=d, inv_c=1.0 / c
+        )
+        f1_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((th + 2 * d, c, w + 2 * d), f1p_t.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = functools.partial(_cv_kernel, d=d, inv_c=1.0 / c)
+        f1_spec = pl.BlockSpec(
+            (1, h + 2 * d, c, w + 2 * d),
+            lambda bi, i: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = []
+
     grid = (b, h // th)
     out = pl.pallas_call(
-        functools.partial(_cv_kernel, d=d, inv_c=1.0 / c),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -100,11 +170,7 @@ def _cv_forward(
                 lambda bi, i: (bi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, h + 2 * d, c, w + 2 * d),
-                lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            f1_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, th, n_taps * n_taps, w),
@@ -114,6 +180,7 @@ def _cv_forward(
         out_shape=jax.ShapeDtypeStruct(
             (b, h, n_taps * n_taps, w), f0.dtype
         ),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(f0_t, f1p_t)
     return jnp.transpose(out, (0, 1, 3, 2))  # back to NHWC (…, 81)
@@ -121,6 +188,21 @@ def _cv_forward(
 
 def _leaky_grad(y):
     return jnp.where(y >= 0, 1.0, 0.1)
+
+
+def _cv_fwd_xla(f0, f1, d, h_prepadded=False):
+    """XLA slice formulation (last-resort forward fallback)."""
+    b, h, w, c = f0.shape
+    hp = (0, 0) if h_prepadded else (d, d)
+    f1p = jnp.pad(f1, ((0, 0), hp, (d, d), (0, 0)))
+    inv_c = jnp.asarray(1.0 / c, f0.dtype)
+    costs = []
+    for v in range(2 * d + 1):
+        for u in range(2 * d + 1):
+            win = jax.lax.slice(f1p, (0, v, u, 0), (b, v + h, u + w, c))
+            costs.append(jnp.sum(f0 * win, axis=3) * inv_c)
+    cv = jnp.stack(costs, axis=3)
+    return jax.nn.leaky_relu(cv, 0.1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -139,6 +221,46 @@ def _fwd_vmem_bytes(h, w, c, d, th, itemsize):
     return full_f1 + 2 * (f0_tile + out_tile)
 
 
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _fwd_windowed_vmem_bytes(h, w, c, d, th, itemsize):
+    """VMEM demand of the windowed forward: the f1 window scratch replaces
+    the full-frame block (f1 itself stays in HBM)."""
+    taps = (2 * d + 1) ** 2
+    lanes_w = _round_up(w, 128)
+    lanes_wp = _round_up(w + 2 * d, 128)
+    window = (th + 2 * d) * c * lanes_wp * itemsize
+    f0_tile = th * c * lanes_w * itemsize
+    out_tile = th * _round_up(taps, 8) * lanes_w * itemsize
+    return window + 2 * (f0_tile + out_tile)
+
+
+def _plan_fwd(h, w, c, d, itemsize, tile_h=None):
+    """Pick (mode, tile) for the forward kernel: 'full' keeps frame 1
+    VMEM-resident (fastest — fetched once per batch element), 'windowed'
+    DMAs per-tile row windows from HBM (large shapes), (None, None) means
+    even one windowed tile row does not fit (fall back to XLA)."""
+    if tile_h is not None:
+        if _fwd_vmem_bytes(h, w, c, d, tile_h, itemsize) <= _VMEM_BUDGET:
+            return "full", tile_h
+        if (
+            _fwd_windowed_vmem_bytes(h, w, c, d, tile_h, itemsize)
+            <= _VMEM_BUDGET
+        ):
+            return "windowed", tile_h
+        return None, None
+    th = _round_tile(h)
+    if _fwd_vmem_bytes(h, w, c, d, th, itemsize) <= _VMEM_BUDGET:
+        return "full", th
+    for t in range(min(h, 32), 0, -1):
+        if h % t:
+            continue
+        if _fwd_windowed_vmem_bytes(h, w, c, d, t, itemsize) <= _VMEM_BUDGET:
+            return "windowed", t
+    return None, None
+
+
 def cost_volume_pallas(
     f0,
     f1,
@@ -148,18 +270,20 @@ def cost_volume_pallas(
 ):
     """Fused cost volume (LeakyReLU included). Drop-in for ops.cost_volume.
 
-    Falls back to the XLA formulation when the full-frame VMEM block of
-    the kernel would not fit on-chip (very large resolutions)."""
+    Shapes whose full-frame VMEM block does not fit on-chip take the
+    windowed kernel (per-tile HBM->VMEM row-window DMAs); the XLA
+    formulation remains only as a last-resort fallback for shapes where
+    even one windowed tile row would not fit."""
     b, h, w, c = f0.shape
     d = int(search_range)
-    th = tile_h or _round_tile(h)
-    if not interpret and _fwd_vmem_bytes(
-        h, w, c, d, th, jnp.dtype(f0.dtype).itemsize
-    ) > 12 * 1024 * 1024:
+    mode, plan_th = _plan_fwd(
+        h, w, c, d, jnp.dtype(f0.dtype).itemsize, tile_h
+    )
+    if mode is None and not interpret:
         from pwcnet_tpu.ops.cost_volume import cost_volume
 
         return cost_volume(f0, f1, d)
-    return _cost_volume_pallas_vjp(f0, f1, d, tile_h, interpret)
+    return _cost_volume_pallas_vjp(f0, f1, d, tile_h or plan_th, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -249,6 +373,94 @@ def _cv_bwd_df1_kernel(gtp_ref, f0p_ref, out_ref, *, d: int):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sem, *, d: int):
+    """Windowed df0: frame 1 stays in HBM; each tile DMAs its halo'd
+    (TH + 2d)-row window into VMEM scratch.
+
+    gt_ref:  (1, TH, T, W)        VMEM tile
+    f1p_any: (1, H+2d, C, W+2d)   HBM (memory_space=ANY)
+    out_ref: (1, TH, C, W)        VMEM tile
+    f1w_ref: (TH+2d, C, W+2d)     VMEM scratch
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    th = out_ref.shape[1]
+    w = out_ref.shape[3]
+    n = 2 * d + 1
+    row0 = i * th
+
+    dma = pltpu.make_async_copy(
+        f1p_any.at[bi, pl.ds(row0, th + 2 * d)], f1w_ref, sem
+    )
+    dma.start()
+    dma.wait()
+
+    def body(v, acc):
+        stripe = f1w_ref[pl.ds(v, th), :, :]  # (TH, C, W+2d)
+        for u in range(n):
+            g_plane = gt_ref[0, :, pl.ds(v * n + u, 1), :]  # (TH, 1, W)
+            acc = acc + (
+                g_plane.astype(jnp.float32)
+                * stripe[:, :, u : u + w].astype(jnp.float32)
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n, body, jnp.zeros(out_ref.shape[1:], jnp.float32)
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _cv_bwd_df1_kernel_w(
+    gtp_any, f0p_any, out_ref, gtw_ref, f0w_ref, sems, *, d: int
+):
+    """Windowed df1: both inputs stay in HBM; each tile DMAs its halo'd
+    (TH + 2d)-row windows into VMEM scratch.
+
+    gtp_any: (1, R, T, W+2d)      HBM, R = H_out + 2d
+    f0p_any: (1, R, C, W+2d)      HBM
+    out_ref: (1, TH, C, W)        VMEM tile
+    gtw_ref: (TH+2d, T, W+2d)     VMEM scratch (f32)
+    f0w_ref: (TH+2d, C, W+2d)     VMEM scratch
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    th = out_ref.shape[1]
+    w = out_ref.shape[3]
+    n = 2 * d + 1
+    row0 = i * th
+
+    cp_g = pltpu.make_async_copy(
+        gtp_any.at[bi, pl.ds(row0, th + 2 * d)], gtw_ref, sems.at[0]
+    )
+    cp_f = pltpu.make_async_copy(
+        f0p_any.at[bi, pl.ds(row0, th + 2 * d)], f0w_ref, sems.at[1]
+    )
+    cp_g.start()
+    cp_f.start()
+    cp_g.wait()
+    cp_f.wait()
+
+    def body(v, acc):
+        # global source row q - v lands at local window row 2d - v + j
+        rows = pl.ds(2 * d - v, th)
+        f_stripe = f0w_ref[rows, :, :]  # (TH, C, W+2d)
+        g_stripe = gtw_ref[rows, pl.ds(v * n, n), :]  # (TH, n, W+2d)
+        for u in range(n):
+            cols = slice(2 * d - u, 2 * d - u + w)
+            g_plane = g_stripe[:, u, cols]  # (TH, W)
+            acc = acc + (
+                g_plane[:, None, :].astype(jnp.float32)
+                * f_stripe[:, :, cols].astype(jnp.float32)
+            )
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, n, body, jnp.zeros(out_ref.shape[1:], jnp.float32)
+    )
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
 def _bwd_vmem_bytes(b, h, w, c, d, itemsize: int = 4):
     """VMEM demand of the df1 kernel's full blocks, with physical lane
     (128) and sublane (8) padding: the f32 gt block dominates — e.g. the
@@ -260,10 +472,142 @@ def _bwd_vmem_bytes(b, h, w, c, d, itemsize: int = 4):
     return gt_full + f_full
 
 
+def _df0_vmem_bytes(h, w, c, d, th, itemsize, windowed):
+    taps = (2 * d + 1) ** 2
+    lanes_w = _round_up(w, 128)
+    lanes_wp = _round_up(w + 2 * d, 128)
+    gt_tile = th * _round_up(taps, 8) * lanes_w * 4  # gt is always f32
+    out_tile = th * c * lanes_w * itemsize
+    f1_rows = (th + 2 * d) if windowed else (h + 2 * d)
+    return f1_rows * c * lanes_wp * itemsize + 2 * (gt_tile + out_tile)
+
+
+def _df1_vmem_bytes(h_out, w, c, d, th, itemsize, windowed):
+    taps = (2 * d + 1) ** 2
+    lanes_w = _round_up(w, 128)
+    lanes_wp = _round_up(w + 2 * d, 128)
+    rows = (th + 2 * d) if windowed else (h_out + 2 * d)
+    gt = rows * _round_up(taps, 8) * lanes_wp * 4  # gt is always f32
+    f0 = rows * c * lanes_wp * itemsize
+    out_tile = th * c * lanes_w * itemsize
+    return gt + f0 + 2 * out_tile
+
+
+def _plan_bwd(h_out, w, c, d, itemsize, tile_h, bytes_fn):
+    """(mode, tile) for one backward kernel; same policy as `_plan_fwd`."""
+    if tile_h is not None:
+        if bytes_fn(h_out, w, c, d, tile_h, itemsize, False) <= _VMEM_BUDGET:
+            return "full", tile_h
+        if bytes_fn(h_out, w, c, d, tile_h, itemsize, True) <= _VMEM_BUDGET:
+            return "windowed", tile_h
+        return None, None
+    th = _round_tile(h_out)
+    if bytes_fn(h_out, w, c, d, th, itemsize, False) <= _VMEM_BUDGET:
+        return "full", th
+    for t in range(min(h_out, 32), 0, -1):
+        if h_out % t:
+            continue
+        if bytes_fn(h_out, w, c, d, t, itemsize, True) <= _VMEM_BUDGET:
+            return "windowed", t
+    return None, None
+
+
+def _run_df0(gt_t, f1p_t, h, w, c, d, th, windowed, interpret, out_dtype):
+    """df0[p, c] = sum_t gt[p, t] * f1[p + off_t, c] as a Pallas call."""
+    b = gt_t.shape[0]
+    n_taps = 2 * d + 1
+    if windowed:
+        kernel = functools.partial(_cv_bwd_df0_kernel_w, d=d)
+        f1_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((th + 2 * d, c, w + 2 * d), f1p_t.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = functools.partial(_cv_bwd_df0_kernel, d=d)
+        f1_spec = pl.BlockSpec(
+            (1, h + 2 * d, c, w + 2 * d),
+            lambda bi, i: (bi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        scratch = []
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, n_taps * n_taps, w),
+                lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            f1_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, c, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, c, w), out_dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(gt_t, f1p_t)
+
+
+def _run_df1(
+    gtp_t, f0p_t, h_out, w, c, d, th, windowed, interpret, out_dtype
+):
+    """df1[q, c] = sum_t gt[q - off_t, t] * f0[q - off_t, c] as a Pallas
+    call over ``h_out`` output rows; inputs carry h_out + 2d rows (the
+    plain path pads by d each side, the H-prepadded path by 2d)."""
+    b = gtp_t.shape[0]
+    rows_in = gtp_t.shape[1]
+    n_taps = 2 * d + 1
+    if windowed:
+        kernel = functools.partial(_cv_bwd_df1_kernel_w, d=d)
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch = [
+            pltpu.VMEM((th + 2 * d, n_taps * n_taps, w + 2 * d), gtp_t.dtype),
+            pltpu.VMEM((th + 2 * d, c, w + 2 * d), f0p_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(_cv_bwd_df1_kernel, d=d)
+        in_specs = [
+            pl.BlockSpec(
+                (1, rows_in, n_taps * n_taps, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows_in, c, w + 2 * d),
+                lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        scratch = []
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h_out // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, th, c, w),
+            lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, c, w), out_dtype),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(gtp_t, f0p_t)
+
+
 def _cv_bwd(search_range, tile_h, interpret, res, g):
     """Backward via two Pallas correlation kernels (same VMEM-resident
-    layout as the forward); falls back to XLA shift ops when the full
-    blocks would not fit VMEM.
+    layout as the forward). Shapes whose full blocks would not fit VMEM
+    run the windowed (per-tile HBM->VMEM DMA) kernel variants; XLA shift
+    ops remain only as a last resort.
 
     raw[..., t] = <f0, shift(f1, v, u)> / C ; out = leaky(raw)
     df0 = sum_t g_t * leaky'(raw_t) * shift(f1, v, u) / C
@@ -272,12 +616,11 @@ def _cv_bwd(search_range, tile_h, interpret, res, g):
     f0, f1, out = res
     d = search_range
     b, h, w, c = f0.shape
-    th = tile_h or _round_tile(h)
-    n_taps = 2 * d + 1
+    itemsize = jnp.dtype(f0.dtype).itemsize
 
-    if _bwd_vmem_bytes(
-        b, h, w, c, d, jnp.dtype(f0.dtype).itemsize
-    ) > 12 * 1024 * 1024:
+    mode0, th0 = _plan_bwd(h, w, c, d, itemsize, tile_h, _df0_vmem_bytes)
+    mode1, th1 = _plan_bwd(h, w, c, d, itemsize, tile_h, _df1_vmem_bytes)
+    if mode0 is None or mode1 is None:
         return _cv_bwd_xla(f0, f1, g, d)
 
     # gt = g * leaky'(raw) / C; sign(out) == sign(raw). Kept in float32:
@@ -293,58 +636,19 @@ def _cv_bwd(search_range, tile_h, interpret, res, g):
     f1p_t = jnp.transpose(
         jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)
     )
-    grid = (b, h // th)
-    df0 = pl.pallas_call(
-        functools.partial(_cv_bwd_df0_kernel, d=d),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, th, n_taps * n_taps, w),
-                lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, h + 2 * d, c, w + 2 * d),
-                lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th, c, w),
-            lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, c, w), f0.dtype),
-        interpret=interpret,
-    )(gt_t, f1p_t)
+    df0 = _run_df0(
+        gt_t, f1p_t, h, w, c, d, th0, mode0 == "windowed", interpret,
+        f0.dtype,
+    )
 
     gtp_t = jnp.pad(gt_t, ((0, 0), (d, d), (0, 0), (d, d)))
     f0p_t = jnp.transpose(
         jnp.pad(f0, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)
     )
-    df1 = pl.pallas_call(
-        functools.partial(_cv_bwd_df1_kernel, d=d),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, h + 2 * d, n_taps * n_taps, w + 2 * d),
-                lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, h + 2 * d, c, w + 2 * d),
-                lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th, c, w),
-            lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, c, w), f0.dtype),
-        interpret=interpret,
-    )(gtp_t, f0p_t)
+    df1 = _run_df1(
+        gtp_t, f0p_t, h, w, c, d, th1, mode1 == "windowed", interpret,
+        f1.dtype,
+    )
 
     return (
         jnp.transpose(df0, (0, 1, 3, 2)),
@@ -437,15 +741,11 @@ def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
     d = search_range
     b, h, w, c = f0.shape
     he = h + 2 * d
-    n_taps = 2 * d + 1
+    itemsize = jnp.dtype(f0.dtype).itemsize
 
-    if not (
-        interpret
-        or _bwd_vmem_bytes(
-            b, he, w, c, d, jnp.dtype(f0.dtype).itemsize
-        )
-        <= 12 * 1024 * 1024
-    ):
+    mode0, th0 = _plan_bwd(h, w, c, d, itemsize, tile_h, _df0_vmem_bytes)
+    mode1, th1 = _plan_bwd(he, w, c, d, itemsize, tile_h, _df1_vmem_bytes)
+    if mode0 is None or mode1 is None:
         return _cv_hpad_bwd_xla(res, g, d)
 
     # gt = g * leaky'(raw) / C, float32 (see _cv_bwd for the bf16 caveat)
@@ -456,30 +756,10 @@ def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
     f1p_t = jnp.transpose(
         jnp.pad(f1_ext, ((0, 0), (0, 0), (d, d), (0, 0))), (0, 1, 3, 2)
     )  # (B, H+2d, C, W+2d)
-    th = tile_h or _round_tile(h)
-    df0 = pl.pallas_call(
-        functools.partial(_cv_bwd_df0_kernel, d=d),
-        grid=(b, h // th),
-        in_specs=[
-            pl.BlockSpec(
-                (1, th, n_taps * n_taps, w),
-                lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, h + 2 * d, c, w + 2 * d),
-                lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th, c, w),
-            lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, c, w), f0.dtype),
-        interpret=interpret,
-    )(gt_t, f1p_t)
+    df0 = _run_df0(
+        gt_t, f1p_t, h, w, c, d, th0, mode0 == "windowed", interpret,
+        f0.dtype,
+    )
 
     # -- df1_ext over the h+2d extended rows: pad gt/f0 rows by 2d so the
     # kernel's row0+2d-v slices stay in-bounds for halo output rows
@@ -487,30 +767,10 @@ def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
     f0p_t = jnp.transpose(
         jnp.pad(f0, ((0, 0), (2 * d, 2 * d), (d, d), (0, 0))), (0, 1, 3, 2)
     )  # (B, H+4d, C, W+2d)
-    th_e = _round_tile(he)
-    df1_ext = pl.pallas_call(
-        functools.partial(_cv_bwd_df1_kernel, d=d),
-        grid=(b, he // th_e),
-        in_specs=[
-            pl.BlockSpec(
-                (1, h + 4 * d, n_taps * n_taps, w + 2 * d),
-                lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, h + 4 * d, c, w + 2 * d),
-                lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, th_e, c, w),
-            lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, he, c, w), f1_ext.dtype),
-        interpret=interpret,
-    )(gtp_t, f0p_t)
+    df1_ext = _run_df1(
+        gtp_t, f0p_t, he, w, c, d, th1, mode1 == "windowed", interpret,
+        f1_ext.dtype,
+    )
     return (
         jnp.transpose(df0, (0, 1, 3, 2)),
         jnp.transpose(df1_ext, (0, 1, 3, 2)),
