@@ -63,6 +63,7 @@ class TestTrainCLI:
 
 
 class TestTestCLI:
+    @pytest.mark.slow
     def test_pair_inference_with_flo_output(self, frames, tmp_path,
                                             monkeypatch):
         monkeypatch.chdir(tmp_path)
@@ -198,6 +199,7 @@ class TestRobustLossCLI:
 
 
 class TestPadSizeHandling:
+    @pytest.mark.slow
     def test_pad_keeps_full_frame(self):
         """436-row Sintel-like frames: pad mode returns flow for every
         input pixel (crop mode would drop rows)."""

@@ -10,6 +10,7 @@ connections, upsampling semantics — not just individual ops.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import oracles
 from pwcnet_tpu.models import PWCDCNet
@@ -75,6 +76,7 @@ def test_conv_same_oracle_against_flax(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_depth_pwcdcnet_matches_oracle(rng):
     """Full 6-level / output-level-4 / d=4 configuration (the flagship
     production config) against the NumPy oracle at 64x64."""

@@ -86,6 +86,7 @@ class TestPWCDCNetParams:
 
 
 class TestPWCDCNetForward:
+    @pytest.mark.slow
     def test_output_shapes_and_pyramid(self):
         model, variables = _init_pwcdcnet()
         imgs0 = jnp.ones((2, H, W, 3), jnp.float32) * 0.5
@@ -227,6 +228,7 @@ class TestModelVariants:
         flows_final, _ = model.apply(variables, imgs, imgs)
         assert np.all(np.isfinite(np.asarray(flows_final)))
 
+    @pytest.mark.slow
     def test_bfloat16_forward(self, rng):
         model = PWCDCNet(
             num_levels=3, output_level=1, search_range=2,

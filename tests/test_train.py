@@ -209,6 +209,7 @@ class TestMixedPrecision:
 
 
 class TestOrbaxBackend:
+    @pytest.mark.slow
     def test_orbax_roundtrip(self, rng, tmp_path):
         from pwcnet_tpu.train_lib import (
             restore_checkpoint_orbax,

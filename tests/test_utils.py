@@ -190,6 +190,7 @@ class TestShowProgress:
 
 
 class TestOpProfile:
+    @pytest.mark.slow
     def test_returns_op_rows(self, rng, tmp_path):
         import jax.numpy as jnp
 
