@@ -54,19 +54,6 @@ def flow_scales(num_levels: int) -> list:
     return [None] + [20.0 / 2 ** (num_levels - l) for l in range(1, num_levels + 1)]
 
 
-def _extract_pyramids(extractor, images_0, images_1):
-    """Run the shared extractor once on both frames stacked along batch.
-
-    Convolutions are batch-independent, so this is bit-exact with two
-    separate calls (the reference's formulation, model.py:97-98) while
-    halving the number of conv ops in the graph and doubling the batch
-    the MXU sees — a measurable win for the small-C shallow levels.
-    """
-    b = images_0.shape[0]
-    stacked = extractor(jnp.concatenate([images_0, images_1], axis=0))
-    return [p[:b] for p in stacked], [p[b:] for p in stacked]
-
-
 class PWCDCNet(nn.Module):
     """PWC-Net with dense-connectable estimators + context network."""
 
@@ -130,9 +117,6 @@ class PWCDCNet(nn.Module):
     def scales(self) -> list:
         return flow_scales(self.num_levels)
 
-    def _extract_pyramids(self, images_0, images_1):
-        return _extract_pyramids(self.fp_extractor, images_0, images_1)
-
     def __call__(
         self,
         images_0: jnp.ndarray,
@@ -152,7 +136,8 @@ class PWCDCNet(nn.Module):
           (deep -> output level).
         """
         cv_fn = self.cost_volume_fn or cost_volume
-        pyramid_0, pyramid_1 = self._extract_pyramids(images_0, images_1)
+        pyramid_0 = self.fp_extractor(images_0)
+        pyramid_1 = self.fp_extractor(images_1)
         scales = self.scales
 
         flows_pyramid = []
@@ -237,9 +222,8 @@ class PWCNet(nn.Module):
     def __call__(
         self, images_0: jnp.ndarray, images_1: jnp.ndarray, train: bool = False
     ):
-        pyramid_0, pyramid_1 = _extract_pyramids(
-            self.fp_extractor, images_0, images_1
-        )
+        pyramid_0 = self.fp_extractor(images_0)
+        pyramid_1 = self.fp_extractor(images_1)
 
         flows = []
         flow = None
