@@ -146,9 +146,16 @@ def _cv_forward(
         kernel = functools.partial(
             _cv_kernel_windowed, d=d, inv_c=1.0 / c
         )
+        # Mosaic DMA slices must be 128-aligned in the lane dim: pad the
+        # HBM operand to the lane multiple and copy full-width rows (the
+        # kernel's static value slices ignore the padding lanes).
+        wl = _round_up(w + 2 * d, 128)
+        f1p_t = jnp.pad(
+            f1p_t, ((0, 0), (0, 0), (0, 0), (0, wl - (w + 2 * d)))
+        )
         f1_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((th + 2 * d, c, w + 2 * d), f1p_t.dtype),
+            pltpu.VMEM((th + 2 * d, c, wl), f1p_t.dtype),
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
@@ -412,16 +419,23 @@ def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sem, *, d: int):
 
 
 def _cv_bwd_df1_kernel_w(
-    gtp_any, f0p_any, out_ref, gtw_ref, f0w_ref, sems, *, d: int
+    gtv_any, f0p_any, out_ref, gts_ref, f0w_ref, sems, *, d: int,
+    rows_in: int,
 ):
-    """Windowed df1: both inputs stay in HBM; each tile DMAs its halo'd
-    (TH + 2d)-row windows into VMEM scratch.
+    """Windowed df1: both inputs stay in HBM; f0's halo'd (TH + 2d)-row
+    window is DMA'd once per tile, and gt — regrouped on the XLA side
+    into per-vertical-tap slabs — is DMA'd per fori_loop iteration at a
+    dynamic *row* offset. (A dynamic tap offset into the sublane dim of a
+    VMEM window is unprovable for Mosaic, and unrolling all 81 taps OOMs
+    scoped vmem; rows are untiled, so slab-per-v sidesteps both.)
 
-    gtp_any: (1, R, T, W+2d)      HBM, R = H_out + 2d
-    f0p_any: (1, R, C, W+2d)      HBM
+    gtv_any: (1, n*R, NP, WL)     HBM, R = rows_in = H_out + 2d; slab v
+             holds gt rows [v*R, (v+1)*R) with the u tap in sublanes
+             (padded to NP)
+    f0p_any: (1, R, C, WL)        HBM
     out_ref: (1, TH, C, W)        VMEM tile
-    gtw_ref: (TH+2d, T, W+2d)     VMEM scratch (f32)
-    f0w_ref: (TH+2d, C, W+2d)     VMEM scratch
+    gts_ref: (1, TH, NP, WL)      VMEM scratch (f32) — one v slab window
+    f0w_ref: (1, TH+2d, C, WL)    VMEM scratch
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
@@ -430,27 +444,27 @@ def _cv_bwd_df1_kernel_w(
     n = 2 * d + 1
     row0 = i * th
 
-    cp_g = pltpu.make_async_copy(
-        gtp_any.at[bi, pl.ds(row0, th + 2 * d)], gtw_ref, sems.at[0]
-    )
     cp_f = pltpu.make_async_copy(
-        f0p_any.at[bi, pl.ds(row0, th + 2 * d)], f0w_ref, sems.at[1]
+        f0p_any.at[pl.ds(bi, 1), pl.ds(row0, th + 2 * d)], f0w_ref, sems.at[1]
     )
-    cp_g.start()
     cp_f.start()
-    cp_g.wait()
     cp_f.wait()
 
     def body(v, acc):
-        # global source row q - v lands at local window row 2d - v + j
-        rows = pl.ds(2 * d - v, th)
-        f_stripe = f0w_ref[rows, :, :]  # (TH, C, W+2d)
-        g_stripe = gtw_ref[rows, pl.ds(v * n, n), :]  # (TH, n, W+2d)
+        # output rows [row0, row0+th) read source rows row0 + 2d - v + j
+        # of slab v, which starts at absolute row v * rows_in
+        src0 = v * (rows_in - 1) + row0 + 2 * d
+        cp_g = pltpu.make_async_copy(
+            gtv_any.at[pl.ds(bi, 1), pl.ds(src0, th)], gts_ref, sems.at[0]
+        )
+        cp_g.start()
+        cp_g.wait()
+        f_stripe = f0w_ref[0, pl.ds(2 * d - v, th), :, :]  # (TH, C, WL)
         for u in range(n):
             cols = slice(2 * d - u, 2 * d - u + w)
-            g_plane = g_stripe[:, u, cols]  # (TH, W)
+            g_plane = gts_ref[0, :, u, cols]  # (TH, W)
             acc = acc + (
-                g_plane[:, None, :].astype(jnp.float32)
+                g_plane.astype(jnp.float32)[:, None, :]
                 * f_stripe[:, :, cols].astype(jnp.float32)
             )
         return acc
@@ -472,6 +486,21 @@ def _bwd_vmem_bytes(b, h, w, c, d, itemsize: int = 4):
     return gt_full + f_full
 
 
+def _bwd_temp_bytes(w, c, d, th):
+    """Scoped-vmem stack demand of the backward kernels' fori_loop body:
+    the n statically-unrolled u iterations each materialize an f32
+    (TH, C, W) product (Mosaic does not reuse them), plus the f32 stripe
+    and accumulator. Measured: predicted 16.8 MB vs Mosaic-reported
+    16.74 MB at (th=32, c=32, w=256, d=4)."""
+    n = 2 * d + 1
+    lanes_w = _round_up(w, 128)
+    lanes_wp = _round_up(w + 2 * d, 128)
+    products = n * th * c * lanes_w * 4
+    stripe = th * c * lanes_wp * 4
+    acc = th * c * lanes_w * 4
+    return products + stripe + acc
+
+
 def _df0_vmem_bytes(h, w, c, d, th, itemsize, windowed):
     taps = (2 * d + 1) ** 2
     lanes_w = _round_up(w, 128)
@@ -479,18 +508,28 @@ def _df0_vmem_bytes(h, w, c, d, th, itemsize, windowed):
     gt_tile = th * _round_up(taps, 8) * lanes_w * 4  # gt is always f32
     out_tile = th * c * lanes_w * itemsize
     f1_rows = (th + 2 * d) if windowed else (h + 2 * d)
-    return f1_rows * c * lanes_wp * itemsize + 2 * (gt_tile + out_tile)
+    return (
+        f1_rows * c * lanes_wp * itemsize
+        + 2 * (gt_tile + out_tile)
+        + _bwd_temp_bytes(w, c, d, th)
+    )
 
 
 def _df1_vmem_bytes(h_out, w, c, d, th, itemsize, windowed):
     taps = (2 * d + 1) ** 2
+    n = 2 * d + 1
     lanes_w = _round_up(w, 128)
     lanes_wp = _round_up(w + 2 * d, 128)
-    rows = (th + 2 * d) if windowed else (h_out + 2 * d)
-    gt = rows * _round_up(taps, 8) * lanes_wp * 4  # gt is always f32
-    f0 = rows * c * lanes_wp * itemsize
     out_tile = th * c * lanes_w * itemsize
-    return gt + f0 + 2 * out_tile
+    if windowed:
+        # one per-v gt slab window + the f0 window (gt is always f32)
+        gt = th * _round_up(n, 8) * lanes_wp * 4
+        f0 = (th + 2 * d) * c * lanes_wp * itemsize
+        return gt + f0 + 2 * out_tile + _bwd_temp_bytes(w, c, d, th)
+    rows = h_out + 2 * d
+    gt = rows * _round_up(taps, 8) * lanes_wp * 4
+    f0 = rows * c * lanes_wp * itemsize
+    return gt + f0 + 2 * out_tile + _bwd_temp_bytes(w, c, d, th)
 
 
 def _plan_bwd(h_out, w, c, d, itemsize, tile_h, bytes_fn):
@@ -518,9 +557,14 @@ def _run_df0(gt_t, f1p_t, h, w, c, d, th, windowed, interpret, out_dtype):
     n_taps = 2 * d + 1
     if windowed:
         kernel = functools.partial(_cv_bwd_df0_kernel_w, d=d)
+        # lane-pad for 128-aligned DMA (see _cv_forward)
+        wl = _round_up(w + 2 * d, 128)
+        f1p_t = jnp.pad(
+            f1p_t, ((0, 0), (0, 0), (0, 0), (0, wl - (w + 2 * d)))
+        )
         f1_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((th + 2 * d, c, w + 2 * d), f1p_t.dtype),
+            pltpu.VMEM((th + 2 * d, c, wl), f1p_t.dtype),
             pltpu.SemaphoreType.DMA(()),
         ]
     else:
@@ -563,14 +607,37 @@ def _run_df1(
     rows_in = gtp_t.shape[1]
     n_taps = 2 * d + 1
     if windowed:
-        kernel = functools.partial(_cv_bwd_df1_kernel_w, d=d)
+        # Regroup gt into per-v slabs (see _cv_bwd_df1_kernel_w): rows
+        # become (v, R), the u tap sits in sublanes padded to a tiling
+        # multiple, lanes pad to 128 for aligned DMAs.
+        wl = _round_up(w + 2 * d, 128)
+        np_pad = _round_up(n_taps, 8)
+        gtv = gtp_t.reshape(b, rows_in, n_taps, n_taps, w + 2 * d)
+        gtv = jnp.transpose(gtv, (0, 2, 1, 3, 4))  # (b, n, R, n, w+2d)
+        gtv = jnp.pad(
+            gtv,
+            (
+                (0, 0),
+                (0, 0),
+                (0, 0),
+                (0, np_pad - n_taps),
+                (0, wl - (w + 2 * d)),
+            ),
+        )
+        gtp_t = gtv.reshape(b, n_taps * rows_in, np_pad, wl)
+        f0p_t = jnp.pad(
+            f0p_t, ((0, 0), (0, 0), (0, 0), (0, wl - (w + 2 * d)))
+        )
+        kernel = functools.partial(
+            _cv_bwd_df1_kernel_w, d=d, rows_in=rows_in
+        )
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         scratch = [
-            pltpu.VMEM((th + 2 * d, n_taps * n_taps, w + 2 * d), gtp_t.dtype),
-            pltpu.VMEM((th + 2 * d, c, w + 2 * d), f0p_t.dtype),
+            pltpu.VMEM((1, th, np_pad, wl), gtp_t.dtype),
+            pltpu.VMEM((1, th + 2 * d, c, wl), f0p_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
