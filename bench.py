@@ -43,6 +43,9 @@ def main():
                         help="Disable the fused warp+cost-volume kernel "
                         "(fall back to XLA warp + Pallas cost volume)")
     parser.set_defaults(fused=True)
+    parser.add_argument("--fused-pyramid", type=int, default=2,
+                        help="Compute the N finest pyramid levels with "
+                        "the fused Pallas conv kernel")
     args = parser.parse_args()
 
     import jax
@@ -59,7 +62,16 @@ def main():
         cv_fn = cost_volume_pallas
         if args.fused:
             warp_cv_fn = warped_cost_volume
-    model = PWCDCNet(dtype=dtype, cost_volume_fn=cv_fn, warp_cv_fn=warp_cv_fn)
+    model = PWCDCNet(
+        dtype=dtype,
+        cost_volume_fn=cv_fn,
+        warp_cv_fn=warp_cv_fn,
+        fused_pyramid_levels=(
+            args.fused_pyramid
+            if jax.devices()[0].platform != "cpu"
+            else 0
+        ),
+    )
 
     rng = np.random.default_rng(0)
     b, h, w = args.batch, args.height, args.width

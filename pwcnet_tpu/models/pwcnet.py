@@ -70,6 +70,9 @@ class PWCDCNet(nn.Module):
     # warped-feature HBM round trip); requires warp_type == 'bilinear'
     warp_cv_fn: Any = None
     remat: bool = False  # rematerialize estimators/context in the backward
+    # compute the N finest pyramid levels with the fused Pallas kernel
+    # (ops/pallas/pyramid_conv.py) — same math, same parameter tree
+    fused_pyramid_levels: int = 0
 
     def setup(self):
         assert self.output_level < self.num_levels, (
@@ -94,6 +97,7 @@ class PWCDCNet(nn.Module):
             num_levels=self.num_levels,
             dtype=self.dtype,
             precision=self.precision,
+            fused_levels=self.fused_pyramid_levels,
             name="fp_extractor",
         )
         # Estimators for every level are declared (like the reference's

@@ -29,13 +29,40 @@ def _conv_name(idx: int) -> str:
     return "conv2d" if idx == 0 else f"conv2d_{idx}"
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv's exact tree (kernel HWIO + bias)
+    for levels computed by the fused Pallas kernel — keeps the TF
+    checkpoint mapping (`conv2d_k/{kernel,bias}`) unchanged."""
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.glorot_uniform(),
+            (3, 3, self.in_features, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return kernel.astype(self.dtype), bias.astype(self.dtype)
+
+
 class FeaturePyramidExtractor(nn.Module):
-    """3-conv-per-level feature pyramid (the PWCDCNet extractor)."""
+    """3-conv-per-level feature pyramid (the PWCDCNet extractor).
+
+    ``fused_levels``: compute the first N (finest) levels with the fused
+    Pallas kernel (`ops.pallas.pyramid_conv`) instead of three XLA convs —
+    same math and the same parameter tree; see docs/DESIGN.md."""
 
     num_levels: int = 6
     filters: Sequence[int] = DEFAULT_FILTERS
     dtype: Any = jnp.float32
     precision: Any = None
+    fused_levels: int = 0
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> list[jnp.ndarray]:
@@ -43,6 +70,27 @@ class FeaturePyramidExtractor(nn.Module):
         pyramid = []
         idx = 0
         for level in range(self.num_levels):
+            if level < self.fused_levels:
+                from pwcnet_tpu.ops.pallas.pyramid_conv import (
+                    pyramid_level_fused,
+                )
+
+                kbs = []
+                cin = x.shape[-1]
+                for _ in range(3):
+                    kbs.extend(
+                        _ConvParams(
+                            features=self.filters[level],
+                            in_features=cin,
+                            dtype=self.dtype,
+                            name=_conv_name(idx),
+                        )()
+                    )
+                    cin = self.filters[level]
+                    idx += 1
+                x = pyramid_level_fused(x.astype(self.dtype), *kbs)
+                pyramid.append(x)
+                continue
             for stride in (2, 1, 1):
                 x = nn.Conv(
                     self.filters[level],

@@ -1,0 +1,139 @@
+"""Fused Pallas pyramid-level kernel vs the XLA 3-conv chain.
+
+The kernel (`ops/pallas/pyramid_conv.py`) computes one feature-pyramid
+level — conv(stride 2) + LeakyReLU, conv + LeakyReLU, conv + LeakyReLU,
+reference `modules.py:42-71` — in a single VMEM pass. These tests run it
+in interpreter mode on CPU and assert exact parity with the XLA
+formulation it replaces (same SAME padding, f32 accumulation, and
+model-dtype rounding between convs), plus gradient parity through the
+custom VJP and model-level equivalence of `fused_pyramid_levels`.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pwcnet_tpu.ops.pallas.pyramid_conv import (
+    _xla_level,
+    pyramid_level_fused,
+)
+
+
+def _level_params(rng, cin, c, dtype=jnp.float32):
+    """Fan-in-scaled random conv params (like glorot init) so the 3-conv
+    chain keeps activations O(1) — unit-variance weights blow values up
+    ~1e3 and amplify dot-order noise past any fixed tolerance."""
+
+    def t(*shape):
+        v = rng.standard_normal(shape).astype(np.float32)
+        if len(shape) == 4:
+            v /= np.sqrt(9.0 * shape[2])
+        else:
+            v *= 0.1
+        return jnp.asarray(v, dtype=dtype)
+
+    return (
+        t(3, 3, cin, c), t(c),
+        t(3, 3, c, c), t(c),
+        t(3, 3, c, c), t(c),
+    )
+
+
+class TestPyramidLevelFused:
+    @pytest.mark.parametrize(
+        "shape,c",
+        [
+            ((1, 16, 24, 3), 16),   # level-0 shape: RGB in
+            ((2, 12, 16, 16), 32),  # level-1 shape: feature in
+            ((1, 8, 8, 4), 8),
+        ],
+    )
+    def test_matches_xla_chain(self, rng, shape, c):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        params = _level_params(rng, shape[-1], c)
+        want = np.asarray(_xla_level(x, *params))
+        got = np.asarray(pyramid_level_fused(x, *params, interpret=True))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_bfloat16_matches_xla_chain(self, rng):
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 3)).astype(np.float32),
+            dtype=jnp.bfloat16,
+        )
+        params = _level_params(rng, 3, 16, dtype=jnp.bfloat16)
+        want = np.asarray(_xla_level(x, *params), dtype=np.float32)
+        got = np.asarray(
+            pyramid_level_fused(x, *params, interpret=True),
+            dtype=np.float32,
+        )
+        # bf16 operands, f32 accumulation in both paths; dot ordering may
+        # differ so allow bf16-scale slop.
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_tiled_matches_untiled(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 16, 8, 4)).astype(np.float32))
+        params = _level_params(rng, 4, 8)
+        whole = np.asarray(
+            pyramid_level_fused(x, *params, tile_h=8, interpret=True)
+        )
+        tiled = np.asarray(
+            pyramid_level_fused(x, *params, tile_h=2, interpret=True)
+        )
+        np.testing.assert_allclose(tiled, whole, rtol=1e-6, atol=1e-6)
+
+    def test_odd_size_falls_back_to_xla(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 15, 17, 3)).astype(np.float32))
+        params = _level_params(rng, 3, 8)
+        want = np.asarray(_xla_level(x, *params))
+        got = np.asarray(pyramid_level_fused(x, *params, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_grads_match_xla_chain(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 3)).astype(np.float32))
+        params = _level_params(rng, 3, 8)
+        g = jnp.asarray(rng.standard_normal((1, 4, 4, 8)).astype(np.float32))
+
+        def loss_fused(x, *p):
+            return jnp.sum(pyramid_level_fused(x, *p, interpret=True) * g)
+
+        def loss_xla(x, *p):
+            return jnp.sum(_xla_level(x, *p) * g)
+
+        got = jax.grad(loss_fused, argnums=tuple(range(7)))(x, *params)
+        want = jax.grad(loss_xla, argnums=tuple(range(7)))(x, *params)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
+
+class TestModelFusedPyramid:
+    def test_model_output_and_param_tree_unchanged(self, rng):
+        """PWCDCNet(fused_pyramid_levels=2) == default model: identical
+        parameter tree (checkpoint compatibility) and identical flows."""
+        from pwcnet_tpu.models import PWCDCNet
+
+        kw = dict(num_levels=3, output_level=1, search_range=2)
+        base = PWCDCNet(**kw)
+        fused = PWCDCNet(fused_pyramid_levels=2, **kw)
+        x0 = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        x1 = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        pb = base.init(jax.random.PRNGKey(0), x0, x1)
+        pf = fused.init(jax.random.PRNGKey(0), x0, x1)
+        assert jax.tree_util.tree_structure(pb) == (
+            jax.tree_util.tree_structure(pf)
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(pb),
+                        jax.tree_util.tree_leaves(pf)):
+            assert a.shape == b.shape
+        flows_b, pyr_b = base.apply(pb, x0, x1)
+        flows_f, pyr_f = fused.apply(pb, x0, x1)
+        np.testing.assert_allclose(
+            np.asarray(flows_f), np.asarray(flows_b), rtol=1e-4, atol=1e-4
+        )
+        for a, b in zip(pyr_f, pyr_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
