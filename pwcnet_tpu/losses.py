@@ -77,6 +77,12 @@ def multirobust_loss(
 
 
 def weight_decay(params) -> jnp.ndarray:
-    """0.5 * sum of squared parameter values over the whole pytree."""
+    """0.5 * sum of squared parameter values over the whole pytree
+    (TF ``tf.nn.l2_loss`` semantics, reference train.py:74-75).
+
+    Computed as one reduction over the concatenated raveled leaves: the
+    per-leaf formulation compiled to ~110 serialized scalar reductions on
+    TPU (~0.1 ms each of pure dispatch overhead in the train step)."""
     leaves = jax.tree_util.tree_leaves(params)
-    return 0.5 * sum(jnp.sum(jnp.square(p)) for p in leaves)
+    flat = jnp.concatenate([p.ravel().astype(jnp.float32) for p in leaves])
+    return 0.5 * jnp.sum(jnp.square(flat))

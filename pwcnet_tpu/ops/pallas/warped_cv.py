@@ -37,11 +37,13 @@ expressed as a *candidate-offset tent filter*:
 Layout matches the cost-volume kernel: (B, H, C|taps, W) — W in lanes, C in
 sublanes, H untiled (dynamic row offsets are free there).
 
-Backward (custom VJP) reuses the optimized round-1 pieces: recompute the
-warped map once with the XLA patch-gather warp, run the Pallas cost-volume
-backward correlation kernels, then the warp's row-scatter backward. Only
-the forward/inference path pays zero gather cost; training pays one warp
-recompute in the backward (the same total work as the unfused pipeline).
+Backward (custom VJP): the forward kernel additionally writes the warped
+map it already has in VMEM (a residual — no recompute), the Pallas
+cost-volume backward correlation kernels produce (df0, d_warped), and the
+scatter-free Pallas warp backward (`warp_bwd_pallas` below — the
+candidate tent filter's transpose is itself a candidate tent filter)
+turns d_warped into (df1, dflow). No XLA gathers or scatters anywhere in
+the trained hot path.
 """
 
 from __future__ import annotations
@@ -74,8 +76,9 @@ def _wcv_vmem_bytes(h, w, c, d, th, itemsize):
     f0_tile = th * c * _round_up(w, 128) * itemsize
     sub = 16 if itemsize == 2 else 8
     out_tile = th * _round_up(taps, sub) * _round_up(w, 128) * itemsize
+    outw_tile = th * c * _round_up(w, 128) * itemsize
     scratch = 2 * s * c * wl * 4  # ws + hacc, f32
-    return f1e + flow + scratch + 2 * (f0_tile + out_tile)
+    return f1e + flow + scratch + 2 * (f0_tile + out_tile + outw_tile)
 
 
 def _pick_tile(h, w, c, d, itemsize, max_tile: int = 32):
@@ -110,6 +113,7 @@ def _wcv_kernel(
     f0_ref,
     f1e_ref,
     out_ref,
+    outw_ref,
     ws_ref,
     hacc_ref,
     *,
@@ -127,6 +131,9 @@ def _wcv_kernel(
     f1e_ref:  (1, H+2+2S, C, WL) VMEM  frame-1: 1-px edge pad, S-row zero
               pad, lanes zero-padded to WL = roundup(W+2d, 128)
     out_ref:  (1, TH, T, W)    VMEM tile (T = (2d+1)^2 taps)
+    outw_ref: (1, TH, C, W)    VMEM tile — the warped features themselves
+              (saved as a VJP residual: the backward reuses them for the
+              cost-volume transpose instead of re-warping with XLA)
     ws_ref:   (S, C, W+2d) f32 scratch — warped stripe, zero margin
     hacc_ref: (S, C, W+2d) f32 scratch — per-kv horizontal accumulator
     """
@@ -203,6 +210,8 @@ def _wcv_kernel(
 
     lax.fori_loop(0, nv, v_body, 0)
 
+    outw_ref[0] = ws_ref[d : d + th, :, d : d + w].astype(outw_ref.dtype)
+
     # -- correlation over the in-VMEM warped stripe (as cost_volume_pallas)
     f0t = f0_ref[0].astype(f32)  # (TH, C, W)
     scale = jnp.asarray(inv_c, f32)
@@ -260,7 +269,7 @@ def _wcv_forward(f0, f1, flow, *, d: int, th: int, interpret: bool):
     flow_t = jnp.transpose(flow32, (0, 1, 3, 2))  # (B, h, 2, w)
     flow_t = jnp.pad(flow_t, ((0, 0), (d, d), (0, 0), (d, d)))
 
-    out = pl.pallas_call(
+    out, outw = pl.pallas_call(
         functools.partial(
             _wcv_kernel, d=d, h=h, w=w, inv_c=1.0 / c, interpret=interpret
         ),
@@ -287,19 +296,319 @@ def _wcv_forward(f0, f1, flow, *, d: int, th: int, interpret: bool):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, n * n, w),
-            lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, n * n, w), f0.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, n * n, w),
+                lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, c, w),
+                lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n * n, w), f0.dtype),
+            jax.ShapeDtypeStruct((b, h, c, w), f0.dtype),
+        ],
         scratch_shapes=[
             pltpu.VMEM((s_rows, c, w + 2 * d), f32),
             pltpu.VMEM((s_rows, c, w + 2 * d), f32),
         ],
         interpret=interpret,
     )(scal, flow_t, jnp.transpose(f0, (0, 1, 3, 2)), f1e)
-    return jnp.transpose(out, (0, 1, 3, 2))  # NHWC (..., taps)
+    # (cost volume NHW(taps), warped features NHWC)
+    return jnp.transpose(out, (0, 1, 3, 2)), jnp.transpose(outw, (0, 1, 3, 2))
+
+
+def _warp_bwd_kernel(
+    s_ref,
+    g_ref,
+    f1e_ref,
+    relw_ref,
+    dfe_ref,
+    dflow_ref,
+    acc_ref,
+    hacc_ref,
+    dfx_ref,
+    dfy_ref,
+    *,
+    h: int,
+    w: int,
+    interpret: bool,
+):
+    """Scatter-free bilinear-warp backward, one (batch, C-chunk, H-tile)
+    grid step.
+
+    The transpose of the candidate-offset tent filter is itself a
+    candidate-offset tent filter: df1e[py+kv, px+ku] += W(p)·g(p) for the
+    (kv, ku) the pixel actually selects, so looping over the tile's
+    candidate offsets and *unrolling* (negated lane/row shifts) replaces
+    XLA's scatter (4 serialized row-scatters, ~1.9 ms/step at 384x448).
+    dflow reuses each candidate's rolled frame stripe: with
+    sv0=(rel_v==kv), sv1=(rel_v==kv-1), su0/su1 likewise, the corner-
+    difference sums factor as c_x=(su1-su0)·wv_map, c_y=(sv1-sv0)·wu_map.
+
+    Tiling: candidate ranges are per H-tile (grid dim 2) for flow
+    locality, like the forward; the scatter target is the frame-wide
+    ``acc_ref`` scratch, zeroed on the first tile and flushed to
+    ``dfe_ref`` on the last — tile writes may overlap rows, scratch
+    accumulation handles it. Channels chunk over grid dim 1 so the
+    frame-height buffers fit VMEM; dfx/dfy accumulate across chunks in
+    frame-sized scratch.
+
+    s_ref:    (1, T, 4) SMEM    per-tile [vmin, nv, umin, nu]
+    g_ref:    (1, TH, CC, WL)   cotangent tile of the warped map
+    f1e_ref:  (1, 3H, CC, WL)   edge-padded frame rows at offset H-1
+    relw_ref: (1, 6, TH, WL)    [rel_v, rel_u, wy0, wy1, wx0, wx1] f32
+    dfe_ref:  (1, H+2, CC, WL)  output: padded-grid df1 (pre edge-fold)
+    dflow_ref:(1, 2, TH, WL)    output tile: [dfx, dfy]
+    acc_ref:  (3H, CC, WL) f32  scratch — padded-grid scatter accumulator
+    hacc_ref: (TH, CC, WL) f32  scratch — per-kv lane-unrolled products
+    dfx_ref/dfy_ref: (H, WL) f32 scratch — cross-chunk dflow accumulators
+    """
+    f32 = jnp.float32
+    wl = g_ref.shape[3]
+    th = g_ref.shape[1]
+    ci = pl.program_id(1)
+    nc = pl.num_programs(1)
+    ti = pl.program_id(2)
+    nt = pl.num_programs(2)
+    row0 = ti * th
+    vmin = s_ref[0, ti, 0]
+    nv = s_ref[0, ti, 1]
+    umin = s_ref[0, ti, 2]
+    nu = s_ref[0, ti, 3]
+
+    rel_v = relw_ref[0, 0]
+    rel_u = relw_ref[0, 1]
+    wy0 = relw_ref[0, 2]
+    wy1 = relw_ref[0, 3]
+    wx0 = relw_ref[0, 4]
+    wx1 = relw_ref[0, 5]
+    g = g_ref[0].astype(f32)  # (TH, CC, WL)
+
+    @pl.when(ti == 0)
+    def _zero_acc():
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    @pl.when(ci == 0)
+    def _zero_dflow():
+        dfx_ref[pl.ds(row0, th), :] = jnp.zeros((th, wl), dfx_ref.dtype)
+        dfy_ref[pl.ds(row0, th), :] = jnp.zeros((th, wl), dfy_ref.dtype)
+
+    def roll_to(x, shift):
+        """Cyclic lane roll: out lane i reads in lane (i - shift) mod WL.
+        Wrapped lanes only ever carry zero-weight contributions."""
+        sh = jnp.mod(shift, wl)
+        if interpret:
+            return jnp.roll(x, sh, axis=-1)
+        return pltpu.roll(x, sh, x.ndim - 1)
+
+    def v_body(iv, carry):
+        kv = vmin + iv
+        kvf = lax.convert_element_type(kv, f32)
+        sv0 = jnp.where(rel_v == kvf, 1.0, 0.0)
+        sv1 = jnp.where(rel_v == kvf - 1.0, 1.0, 0.0)
+        wv_map = wy0 * sv0 + wy1 * sv1  # (TH, WL)
+        dsv = sv1 - sv0
+        # frame rows py+kv (padded indices), py in [row0, row0+th)
+        stripe = f1e_ref[0, pl.ds(row0 + kv + h - 1, th), :, :].astype(f32)
+        hacc_ref[...] = jnp.zeros(hacc_ref.shape, hacc_ref.dtype)
+
+        def u_body(iu, c2):
+            ku = umin + iu
+            kuf = lax.convert_element_type(ku, f32)
+            su0 = jnp.where(rel_u == kuf, 1.0, 0.0)
+            su1 = jnp.where(rel_u == kuf - 1.0, 1.0, 0.0)
+            wu_map = wx0 * su0 + wx1 * su1
+            # dflow: R = sum_c f1e[py+kv, px+ku] * g  (corner value dot g)
+            stripe_r = roll_to(stripe, -ku)
+            r = jnp.sum(stripe_r * g, axis=1)  # (TH, WL)
+            dfx_ref[pl.ds(row0, th), :] += (su1 - su0) * wv_map * r
+            dfy_ref[pl.ds(row0, th), :] += dsv * wu_map * r
+            # df1: unroll the weighted cotangent to the corner position
+            prod = (wv_map * wu_map)[:, None, :] * g
+            hacc_ref[...] += roll_to(prod, ku)
+            return c2
+
+        lax.fori_loop(0, nu, u_body, 0)
+        # row-unshift: pixel row py lands on padded row py + kv
+        acc_ref[pl.ds(row0 + kv + h - 1, th), :, :] += hacc_ref[...]
+        return carry
+
+    lax.fori_loop(0, nv, v_body, 0)
+
+    @pl.when(ti == nt - 1)
+    def _flush_dfe():
+        dfe_ref[0] = acc_ref[h - 1 : 2 * h + 1, :, :].astype(dfe_ref.dtype)
+
+    # final chunk's write is the one that lands (earlier chunks' blocks
+    # are overwritten at the same output index)
+    dflow_ref[0, 0] = dfx_ref[pl.ds(row0, th), :].astype(dflow_ref.dtype)
+    dflow_ref[0, 1] = dfy_ref[pl.ds(row0, th), :].astype(dflow_ref.dtype)
+
+
+def _warp_bwd_vmem_bytes(h, w, cc, th, itemsize):
+    """VMEM demand for one (batch, C-chunk, H-tile) grid step."""
+    wl = _round_up(w + 2, 128)
+    acc = 3 * h * cc * wl * 4
+    hacc = th * cc * wl * 4
+    f1e = 3 * h * cc * wl * itemsize
+    g = th * cc * wl * itemsize
+    relw = 6 * th * wl * 4
+    dfe = (h + 2) * cc * wl * itemsize
+    dflow = 2 * th * wl * 4
+    dfxy = 2 * h * wl * 4
+    maps = 8 * th * wl * 4  # in-kernel f32 temporaries
+    stripes = 3 * th * cc * wl * 4
+    return (
+        acc + hacc + f1e + dfxy + maps + stripes
+        + 2 * (g + relw + dfe + dflow)
+    )
+
+
+def _pick_bwd_tiles(h, w, c, itemsize, max_tile: int = 16):
+    """(c_chunk, tile_h) whose per-step buffers fit the VMEM budget.
+
+    Mosaic requires tiled block sublane dims divisible by 8 (or equal to
+    the full array dim), so tile_h and c_chunk are restricted to that."""
+    ths = [
+        t
+        for t in range(min(h, max_tile), 0, -1)
+        if h % t == 0 and (t % 8 == 0 or t == h)
+    ]
+    ccs = [
+        v
+        for v in range(c, 0, -1)
+        if c % v == 0 and (v % 8 == 0 or v == c)
+    ]
+    for cc in ccs:
+        for th in ths:
+            if _warp_bwd_vmem_bytes(h, w, cc, th, itemsize) <= _VMEM_BUDGET:
+                return cc, th
+    return None
+
+
+def warp_bwd_pallas(f1, flow, g, interpret: bool = False):
+    """(df1, dflow) of ``bilinear_warp(f1, flow)`` given cotangent ``g``.
+
+    Exact `_bilinear_warp_bwd` semantics (ops/warp.py — independent
+    corner clamping via the padded grid, weight gradients from the
+    unclamped fractional flow) without XLA scatters. Returns None when
+    the kernel does not fit VMEM; callers fall back to the XLA path."""
+    b, h, w, c = f1.shape
+    picked = _pick_bwd_tiles(h, w, c, jnp.dtype(f1.dtype).itemsize)
+    if picked is None:
+        return None
+    cc, th = picked
+    nc = c // cc
+    nt = h // th
+    f32 = jnp.float32
+    wl = _round_up(w + 2, 128)
+    flow32 = flow.astype(f32)
+    fx = flow32[..., 0]
+    fy = flow32[..., 1]
+    gy = jnp.arange(h, dtype=f32)[None, :, None]
+    gx = jnp.arange(w, dtype=f32)[None, None, :]
+    fy0 = jnp.floor(fy)
+    fx0 = jnp.floor(fx)
+    rel_v = jnp.clip(gy + fy0, -1.0, h - 1.0) + 1.0 - gy
+    rel_u = jnp.clip(gx + fx0, -1.0, w - 1.0) + 1.0 - gx
+    wy1 = fy - fy0
+    wx1 = fx - fx0
+    relw = jnp.stack(
+        [rel_v, rel_u, 1.0 - wy1, wy1, 1.0 - wx1, wx1], axis=1
+    )  # (B, 6, H, W)
+    relw = jnp.pad(relw, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
+
+    def tile_ranges(rel):
+        rmin = jnp.stack(
+            [rel[:, i * th : (i + 1) * th].min((1, 2)) for i in range(nt)],
+            axis=1,
+        )
+        rmax = jnp.stack(
+            [rel[:, i * th : (i + 1) * th].max((1, 2)) for i in range(nt)],
+            axis=1,
+        )
+        return rmin, rmax - rmin + 2.0  # candidates k in [min, max+1]
+
+    vmin_t, nv_t = tile_ranges(rel_v)
+    umin_t, nu_t = tile_ranges(rel_u)
+    scal = jnp.stack(
+        [vmin_t, nv_t, umin_t, nu_t], axis=2
+    ).astype(jnp.int32)  # (B, T, 4)
+
+    f1e = jnp.pad(f1, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    f1e = jnp.transpose(f1e, (0, 1, 3, 2))  # (B, h+2, c, w+2)
+    f1e = jnp.pad(
+        f1e, ((0, 0), (h - 1, h - 1), (0, 0), (0, wl - (w + 2)))
+    )
+
+    gt = jnp.transpose(g, (0, 1, 3, 2))  # (B, h, c, w)
+    gt = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (0, wl - w)))
+
+    dfe, dflow = pl.pallas_call(
+        functools.partial(_warp_bwd_kernel, h=h, w=w, interpret=interpret),
+        grid=(b, nc, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nt, 4), lambda bi, ci, ti: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, th, cc, wl), lambda bi, ci, ti: (bi, ti, ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3 * h, cc, wl), lambda bi, ci, ti: (bi, 0, ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 6, th, wl), lambda bi, ci, ti: (bi, 0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, h + 2, cc, wl), lambda bi, ci, ti: (bi, 0, ci, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, th, wl), lambda bi, ci, ti: (bi, 0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h + 2, c, wl), f1.dtype),
+            jax.ShapeDtypeStruct((b, 2, h, wl), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3 * h, cc, wl), f32),
+            pltpu.VMEM((th, cc, wl), f32),
+            pltpu.VMEM((h, wl), f32),
+            pltpu.VMEM((h, wl), f32),
+        ],
+        interpret=interpret,
+    )(scal, gt, f1e, relw)
+
+    # fold the replicated padded-grid border back onto the true edges
+    dfe = dfe[:, :, :, : w + 2]  # (B, h+2, c, w+2)
+    rows = dfe[:, 1 : h + 1]
+    rows = rows.at[:, 0].add(dfe[:, 0]).at[:, h - 1].add(dfe[:, h + 1])
+    df1 = rows[:, :, :, 1 : w + 1]
+    df1 = (
+        df1.at[:, :, :, 0]
+        .add(rows[:, :, :, 0])
+        .at[:, :, :, w - 1]
+        .add(rows[:, :, :, w + 1])
+    )
+    df1 = jnp.transpose(df1, (0, 1, 3, 2)).astype(f1.dtype)  # NHWC
+    dflow_out = jnp.stack(
+        [dflow[:, 0, :, :w], dflow[:, 1, :, :w]], axis=-1
+    ).astype(flow.dtype)
+    return df1, dflow_out
 
 
 def warped_cost_volume(
@@ -333,26 +642,30 @@ def warped_cost_volume(
 def _warped_cv_vjp(f0, f1, flow, search_range, tile_h, interpret):
     return _wcv_forward(
         f0, f1, flow, d=search_range, th=tile_h, interpret=interpret
-    )
+    )[0]
 
 
 def _wcv_fwd(f0, f1, flow, search_range, tile_h, interpret):
-    out = _wcv_forward(
+    out, f1w = _wcv_forward(
         f0, f1, flow, d=search_range, th=tile_h, interpret=interpret
     )
-    return out, (f0, f1, flow, out)
+    return out, (f0, f1, flow, out, f1w)
 
 
 def _wcv_bwd(search_range, tile_h, interpret, res, g):
-    """Compose the optimized backward pieces: one XLA warp recompute, the
-    Pallas cost-volume backward correlations, the warp row-scatter VJP."""
-    f0, f1, flow, out = res
+    """Compose the optimized backward pieces: the Pallas cost-volume
+    backward correlations over the warped map saved by the forward
+    kernel, then the Pallas warp backward (scatter-free candidate
+    transpose; XLA row-scatter VJP as the VMEM fallback)."""
+    f0, f1, flow, out, f1w = res
     from pwcnet_tpu.ops.pallas.cost_volume import _cv_bwd
-    from pwcnet_tpu.ops.warp import _bilinear_warp_bwd, bilinear_warp
+    from pwcnet_tpu.ops.warp import _bilinear_warp_bwd
 
-    f1w = bilinear_warp(f1, flow)
     df0, df1w = _cv_bwd(search_range, None, interpret, (f0, f1w, out), g)
-    df1, dflow = _bilinear_warp_bwd((f1, flow), df1w)
+    warp_grads = warp_bwd_pallas(f1, flow, df1w, interpret)
+    if warp_grads is None:
+        warp_grads = _bilinear_warp_bwd((f1, flow), df1w)
+    df1, dflow = warp_grads
     return df0, df1, dflow
 
 

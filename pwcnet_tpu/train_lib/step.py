@@ -58,8 +58,13 @@ def make_loss_fn(
     gamma: float = 4e-4,
     epsilon: float = 0.02,
     q: float = 0.4,
+    decoupled_wd: bool = False,
 ) -> Callable:
-    """(params, images(B,2,H,W,3), flows_gt) -> (loss, metrics)."""
+    """(params, images(B,2,H,W,3), flows_gt) -> (loss, metrics).
+
+    ``decoupled_wd``: report the weight-decay term in the loss value but
+    exclude it from the gradient (the caller adds the analytically
+    identical ``gamma * p`` per leaf instead — see make_train_step)."""
 
     if loss_name == "multiscale":
         criterion = functools.partial(losses.multiscale_loss, weights=weights)
@@ -82,7 +87,10 @@ def make_loss_fn(
         pyramid = [f.astype(jnp.float32) for f in pyramid]
         flows_gt = flows_gt.astype(jnp.float32)
         data_loss = criterion(flows_gt, pyramid)
-        total = data_loss + gamma * losses.weight_decay(params)
+        wd_params = (
+            jax.lax.stop_gradient(params) if decoupled_wd else params
+        )
+        total = data_loss + gamma * losses.weight_decay(wd_params)
         metrics = {
             "loss": total,
             "data_loss": data_loss,
@@ -94,12 +102,22 @@ def make_loss_fn(
 
 
 def make_train_step(model, donate: bool = True, **loss_kwargs) -> Callable:
-    """Jitted (state, images, flows_gt) -> (state, metrics)."""
-    loss_fn = make_loss_fn(model, **loss_kwargs)
+    """Jitted (state, images, flows_gt) -> (state, metrics).
+
+    The weight-decay gradient is applied analytically (``gamma * p`` per
+    leaf) rather than by differentiating the 110 per-tensor l2
+    reductions — the same update (d/dp of gamma*sum(p^2)/2 is exactly
+    gamma*p), minus ~1 ms/step of serialized scalar-reduction backward
+    ops measured on TPU. The reported loss still includes the term."""
+    gamma = loss_kwargs.get("gamma", 4e-4)
+    loss_fn = make_loss_fn(model, decoupled_wd=True, **loss_kwargs)
 
     def train_step(state: TrainState, images, flows_gt):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, metrics), grads = grad_fn(state.params, images, flows_gt)
+        grads = jax.tree_util.tree_map(
+            lambda g, p: g + gamma * p.astype(g.dtype), grads, state.params
+        )
         state = state.apply_gradients(grads=grads)
         return state, metrics
 

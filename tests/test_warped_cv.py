@@ -151,3 +151,52 @@ class TestModelIntegration:
         imgs = jnp.zeros((1, 16, 16, 3), jnp.float32)
         with pytest.raises(ValueError):
             model.init(jax.random.PRNGKey(0), imgs, imgs)
+
+
+class TestWarpBwdPallas:
+    """The scatter-free Pallas warp backward vs the XLA row-scatter VJP."""
+
+    @pytest.mark.parametrize("fscale", [0.4, 2.5, 40.0])
+    def test_matches_xla_warp_vjp(self, rng, fscale):
+        from pwcnet_tpu.ops.pallas.warped_cv import warp_bwd_pallas
+        from pwcnet_tpu.ops.warp import _bilinear_warp_bwd
+
+        shape = (2, 10, 12, 5)
+        f1 = _rand(rng, shape)
+        flow = _rand(rng, shape[:3] + (2,), fscale)
+        g = _rand(rng, shape)
+        want_df1, want_dflow = _bilinear_warp_bwd((f1, flow), g)
+        got = warp_bwd_pallas(f1, flow, g, interpret=True)
+        assert got is not None
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(want_df1), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[1]), np.asarray(want_dflow), rtol=1e-5, atol=1e-5
+        )
+
+    def test_integer_and_axis_aligned_flows(self, rng):
+        """Exact-integer flows put weights on selector boundaries
+        (rel==kv with fractional weight exactly 0/1)."""
+        from pwcnet_tpu.ops.pallas.warped_cv import warp_bwd_pallas
+        from pwcnet_tpu.ops.warp import _bilinear_warp_bwd
+
+        shape = (1, 8, 8, 4)
+        f1 = _rand(rng, shape)
+        flow = jnp.tile(jnp.asarray([3.0, -2.0], jnp.float32), (1, 8, 8, 1))
+        g = _rand(rng, shape)
+        want_df1, want_dflow = _bilinear_warp_bwd((f1, flow), g)
+        got = warp_bwd_pallas(f1, flow, g, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(want_df1), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[1]), np.asarray(want_dflow), rtol=1e-5, atol=1e-5
+        )
+
+    def test_vmem_guard_returns_none(self, rng):
+        from pwcnet_tpu.ops.pallas.warped_cv import warp_bwd_pallas
+
+        f1 = jnp.zeros((1, 512, 1024, 64), jnp.float32)
+        flow = jnp.zeros((1, 512, 1024, 2), jnp.float32)
+        assert warp_bwd_pallas(f1, flow, jnp.zeros_like(f1)) is None
