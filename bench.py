@@ -43,10 +43,19 @@ def main():
                         help="Disable the fused warp+cost-volume kernel "
                         "(fall back to XLA warp + Pallas cost volume)")
     parser.set_defaults(fused=True)
-    parser.add_argument("--fused-pyramid", type=int, default=2,
+    parser.add_argument("--fused-pyramid", type=int, default=None,
                         help="Compute the N finest pyramid levels with "
-                        "the fused Pallas conv kernel")
+                        "the fused Pallas conv kernel (default: 2 for "
+                        "inference, 0 for --train where the VJP's XLA "
+                        "recompute outweighs the forward win)")
+    parser.add_argument("--train", action="store_true",
+                        help="Benchmark the full training step (fwd+bwd+"
+                        "Adam) at 384x448 instead of inference")
     args = parser.parse_args()
+    if args.train and args.height == 448 and args.width == 1024:
+        args.height, args.width = 384, 448
+    if args.fused_pyramid is None:
+        args.fused_pyramid = 0 if args.train else 2
 
     import jax
     import jax.numpy as jnp
@@ -75,11 +84,46 @@ def main():
 
     rng = np.random.default_rng(0)
     b, h, w = args.batch, args.height, args.width
+    K = args.iters
+
+    if args.train:
+        from pwcnet_tpu.train_lib import create_train_state, make_train_step
+
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (1, 64, 64, 3), learning_rate=1e-4
+        )
+        step = make_train_step(model, donate=False)
+        images = jnp.asarray(rng.random((b, 2, h, w, 3)).astype(np.float32))
+        flows = jnp.asarray(
+            rng.standard_normal((b, h, w, 2)).astype(np.float32)
+        )
+        s, m = step(state, images, flows)
+        float(m["loss"])  # compile + warm
+        start = time.perf_counter()
+        for _ in range(K):  # steps chain through the state carry
+            s, m = step(s, images, flows)
+        final = float(m["loss"])  # fetch = sync
+        elapsed = time.perf_counter() - start
+        assert np.isfinite(final)
+        pairs_per_sec = K * b / elapsed
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"PWCDCNet {h}x{w} b{b} {args.dtype} train step "
+                        "throughput (fwd+bwd+adam, pallas kernels)"
+                    ),
+                    "value": round(pairs_per_sec, 3),
+                    "unit": "image_pairs_per_sec_per_chip",
+                    "vs_baseline": round(pairs_per_sec / 35.0, 3),
+                }
+            )
+        )
+        return
+
     images_0 = jnp.asarray(rng.random((b, h, w, 3)), dtype)
     images_1 = jnp.asarray(rng.random((b, h, w, 3)), dtype)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), images_0, images_1)
-
-    K = args.iters
 
     @jax.jit
     def run(variables, images_0, images_1):
