@@ -53,6 +53,7 @@ class FlowPredictor:
         dtype=jnp.float32,
         use_pallas: str | bool = "auto",
         use_fused: str | bool = "auto",
+        fused_pyramid: str | int = "auto",
         size_handling: str = "crop",
     ):
         """``size_handling``: how non-multiple-of-2**num_levels frames are
@@ -77,6 +78,10 @@ class FlowPredictor:
                 use_fused = warp_type == "bilinear"
             if use_fused:
                 warp_cv_fn = warped_cost_volume
+        if fused_pyramid == "auto":
+            # the fused Pallas conv kernel wins on the two finest
+            # (small-C) levels; it falls back internally for odd sizes
+            fused_pyramid = 2 if use_pallas else 0
         self.model = PWCDCNet(
             num_levels=num_levels,
             search_range=search_range,
@@ -86,6 +91,7 @@ class FlowPredictor:
             dtype=dtype,
             cost_volume_fn=cv_fn,
             warp_cv_fn=warp_cv_fn,
+            fused_pyramid_levels=int(fused_pyramid),
         )
         self.num_levels = num_levels
         self.crop_factor = 2**num_levels
