@@ -43,19 +43,16 @@ def main():
                         help="Disable the fused warp+cost-volume kernel "
                         "(fall back to XLA warp + Pallas cost volume)")
     parser.set_defaults(fused=True)
-    parser.add_argument("--fused-pyramid", type=int, default=None,
+    parser.add_argument("--fused-pyramid", type=int, default=2,
                         help="Compute the N finest pyramid levels with "
-                        "the fused Pallas conv kernel (default: 2 for "
-                        "inference, 0 for --train where the VJP's XLA "
-                        "recompute outweighs the forward win)")
+                        "the fused Pallas conv kernels (fwd + the "
+                        "gz-chain backward)")
     parser.add_argument("--train", action="store_true",
                         help="Benchmark the full training step (fwd+bwd+"
                         "Adam) at 384x448 instead of inference")
     args = parser.parse_args()
     if args.train and args.height == 448 and args.width == 1024:
         args.height, args.width = 384, 448
-    if args.fused_pyramid is None:
-        args.fused_pyramid = 0 if args.train else 2
 
     import jax
     import jax.numpy as jnp

@@ -91,6 +91,8 @@ def _plevel_kernel(
     k3_ref,
     bias_ref,
     out_ref,
+    s1x_ref,
+    s2x_ref,
     xw_ref,
     s1_ref,
     s2_ref,
@@ -214,8 +216,26 @@ def _plevel_kernel(
 
     jax.lax.fori_loop(0, th, row3, 0)
 
+    if s1x_ref is not None:
+        # post-activation intermediates (margin-lane layout) for the
+        # Pallas backward: VJP residuals instead of an XLA recompute
+        s1x_ref[0] = s1_ref[2 : 2 + th, :, :]
+        s2x_ref[0] = s2_ref[1 : 1 + th, :, :]
 
-def _plevel_forward(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
+
+def _plevel_kernel_infer(
+    x_any, k1_ref, k2_ref, k3_ref, bias_ref, out_ref,
+    xw_ref, s1_ref, s2_ref, sem, **kw,
+):
+    _plevel_kernel(
+        x_any, k1_ref, k2_ref, k3_ref, bias_ref, out_ref, None, None,
+        xw_ref, s1_ref, s2_ref, sem, **kw,
+    )
+
+
+def _plevel_forward(
+    x, k1, b1, k2, b2, k3, b3, *, th, interpret, save_acts=False
+):
     b, h, w, cin = x.shape
     c = k1.shape[-1]
     hh, wh = h // 2, w // 2
@@ -238,9 +258,26 @@ def _plevel_forward(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
     k3m = _split_kernel(k3, c)
     bias = jnp.stack([b1, b2, b3]).astype(jnp.float32)  # (3, C)
 
-    out = pl.pallas_call(
+    kern = _plevel_kernel if save_acts else _plevel_kernel_infer
+    out_specs = [
+        pl.BlockSpec(
+            (1, th, c, wh), lambda bi, i: (bi, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, hh, c, wh), x.dtype)]
+    if save_acts:
+        for _ in range(2):
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, th, c, wl), lambda bi, i: (bi, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_shape.append(jax.ShapeDtypeStruct((b, hh, c, wl), x.dtype))
+    res = pl.pallas_call(
         functools.partial(
-            _plevel_kernel,
+            kern,
             th=th,
             hh=hh,
             wh=wh,
@@ -262,12 +299,8 @@ def _plevel_forward(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
                 bias.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, th, c, wh),
-            lambda bi, i: (bi, i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hh, c, wh), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, 2 * th + 10, cin_p, wl), x.dtype),
             pltpu.VMEM((th + 4, c, wl), x.dtype),
@@ -276,7 +309,10 @@ def _plevel_forward(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
         ],
         interpret=interpret,
     )(xs, k1m, k2m, k3m, bias)
-    return jnp.transpose(out, (0, 1, 3, 2))  # NHWC (B, H/2, W/2, C)
+    out = jnp.transpose(res[0], (0, 1, 3, 2))  # NHWC (B, H/2, W/2, C)
+    if save_acts:
+        return out, res[1], res[2]  # s1/s2 in (B, HH, C, WL) margin layout
+    return out
 
 
 def _xla_level(x, k1, b1, k2, b2, k3, b3):
@@ -342,6 +378,292 @@ def pyramid_level_fused(
     return _plevel_vjp(x, k1, b1, k2, b2, k3, b3, th, interpret)
 
 
+def _plevel_bwd_kernel(
+    g_ref,
+    out_ref,
+    s1_ref,
+    s2_ref,
+    k1t_ref,
+    k2t_ref,
+    k3t_ref,
+    gz1_ref,
+    gz2_ref,
+    gz3_ref,
+    dx_ref,
+    ds1_ref,
+    ds2_ref,
+    dxs_ref,
+    *,
+    th: int,
+    hh: int,
+    wh: int,
+    cin_p: int,
+    need_dx: bool,
+    interpret: bool,
+):
+    """Backward gz chain for one fused pyramid level, one (batch, H-tile)
+    grid step — no XLA scatters, no in-kernel transposes, no recompute.
+
+    The chain d(out) -> d(z3) -> d(s2) -> d(z2) -> d(s1) -> d(z1) -> dx
+    needs only (a) LeakyReLU sign masks from the *post-activation* values
+    (saved by the forward kernel / the out residual), (b) static lane
+    rolls of the cotangent rows, and (c) matmuls against the statically
+    transposed stacked kernels (k?t = k?m.T, built at trace time) — the
+    exact transpose of the forward's per-row formulation. The awkward
+    lane-contraction dk/db correlations are left to XLA vjp on the saved
+    activations (see `_plevel_bwd`).
+
+    g_ref/out_ref/s1_ref/s2_ref: (1, HH+4, C, WL) full-frame VMEM blocks,
+        2 zero rows of padding each side, margin-lane layout (data in
+        lanes 1..wh). g/out rows hold conv3 output cotangent/value; s1/s2
+        the saved post-activation intermediates.
+    k1t_ref: (3*CINP, 2C); k2t/k3t: (3C, 3C) transposed stacked kernels
+    gz1/gz2/gz3_ref: (1, TH, C, WL) output tiles: d(z_i) on exact rows
+    dx_ref: (1, 1, 2TH+2, CINP, WL) output: tile's dx window (W-s2d,
+        overlap-added across tiles on the XLA side)
+    ds1/ds2_ref: (TH+4, C, WL) f32 scratch
+    dxs_ref: (2TH+2, CINP, WL) f32 scratch
+    """
+    ti = pl.program_id(1)
+    r0 = ti * th
+    f32 = jnp.float32
+    c = gz1_ref.shape[2]
+    wl = gz1_ref.shape[3]
+    # data lives in lanes 1..wh; the margin lanes of ds1/ds2 accumulate
+    # gradients of the forward's zero margins, which must not leak into
+    # data lanes through the rolls -> zero them before each chain stage
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+    lane_mask = jnp.where(
+        jnp.logical_and(lane >= 1, lane <= wh),
+        jnp.asarray(1.0, f32),
+        jnp.asarray(0.0, f32),
+    )
+
+    def rollr(v, shift):
+        """Static right-roll: out lane i reads in lane i - shift."""
+        if shift == 0:
+            return v
+        if interpret:
+            return jnp.roll(v, shift, axis=1)
+        return pltpu.roll(v, shift % wl, 1)
+
+    def leaky_mask(v):
+        return jnp.where(v >= 0, jnp.asarray(1.0, f32), jnp.asarray(0.1, f32))
+
+    def row(ref, idx):
+        return ref[0, pl.ds(idx, 1), :, :][0]
+
+    ds2_ref[...] = jnp.zeros(ds2_ref.shape, ds2_ref.dtype)
+    ds1_ref[...] = jnp.zeros(ds1_ref.shape, ds1_ref.dtype)
+    if need_dx:
+        dxs_ref[...] = jnp.zeros(dxs_ref.shape, dxs_ref.dtype)
+
+    # ---- conv3 backward: gz3 rows r0-2 .. r0+th+2 fill ds2
+    for jj in range(th + 4):
+        # conv3 out row r = r0 - 2 + jj lives at padded index r0 + jj
+        gz = row(g_ref, r0 + jj).astype(f32) * leaky_mask(
+            row(out_ref, r0 + jj).astype(f32)
+        )
+        if 2 <= jj < th + 2:
+            gz3_ref[0, pl.ds(jj - 2, 1), :, :] = gz[None].astype(
+                gz3_ref.dtype
+            )
+        dp = jnp.concatenate([rollr(gz, d - 1) for d in range(3)], axis=0)
+        v = jax.lax.dot(k3t_ref[...], dp, preferred_element_type=f32)
+        for dy in range(3):
+            t = jj + dy - 1
+            if 0 <= t < th + 4:
+                ds2_ref[pl.ds(t, 1), :, :] += v[dy * c : (dy + 1) * c][None]
+
+    # ---- conv2 backward: gz2 rows r0-1 .. r0+th+1 (exact) fill ds1
+    for sj in range(1, th + 3):
+        r = r0 - 2 + sj
+        gz = ds2_ref[sj].astype(f32) * leaky_mask(
+            row(s2_ref, r0 + sj).astype(f32)
+        ) * lane_mask
+        valid = jnp.logical_and(r >= 0, r < hh)
+        gz = jnp.where(valid, gz, jnp.zeros_like(gz))
+        if 2 <= sj < th + 2:
+            gz2_ref[0, pl.ds(sj - 2, 1), :, :] = gz[None].astype(
+                gz2_ref.dtype
+            )
+        dp = jnp.concatenate([rollr(gz, d - 1) for d in range(3)], axis=0)
+        v = jax.lax.dot(k2t_ref[...], dp, preferred_element_type=f32)
+        for dy in range(3):
+            ds1_ref[pl.ds(sj + dy - 1, 1), :, :] += (
+                v[dy * c : (dy + 1) * c][None]
+            )
+
+    # ---- conv1 backward: gz1 on exact rows; dx into the s2d window
+    for sj in range(2, th + 2):
+        r = r0 - 2 + sj
+        gz = ds1_ref[sj].astype(f32) * leaky_mask(
+            row(s1_ref, r0 + sj).astype(f32)
+        ) * lane_mask
+        valid = jnp.logical_and(r >= 0, r < hh)
+        gz = jnp.where(valid, gz, jnp.zeros_like(gz))
+        gz1_ref[0, pl.ds(sj - 2, 1), :, :] = gz[None].astype(gz1_ref.dtype)
+        if need_dx:
+            dp = jnp.concatenate([rollr(gz, 0), rollr(gz, 1)], axis=0)
+            v = jax.lax.dot(k1t_ref[...], dp, preferred_element_type=f32)
+            i = sj - 2
+            for dy in range(3):
+                dxs_ref[pl.ds(2 * i + dy, 1), :, :] += (
+                    v[dy * cin_p : (dy + 1) * cin_p][None]
+                )
+
+    if need_dx:
+        dx_ref[0, 0] = dxs_ref[...].astype(dx_ref.dtype)
+
+
+def _pick_tile_bwd(hh, wh, cin, c, itemsize):
+    """Tile for the backward kernel; None -> XLA-recompute fallback."""
+    sub = 16 if itemsize == 2 else 8
+    cin_p = _round_up(2 * cin, sub)
+    wl = _round_up(wh + 2, 128)
+    frames = 4 * (hh + 4) * c * wl * itemsize  # g/out/s1/s2 blocks
+    for t in range(min(hh, 16), 0, -1):
+        if hh % t:
+            continue
+        scr = (2 * (t + 4) * c + (2 * t + 2) * cin_p) * wl * 4
+        outs = 2 * (3 * t * c + (2 * t + 2) * cin_p) * wl * itemsize
+        temps = (9 * c + 3 * c + 3 * cin_p) * wl * 4
+        if frames + scr + outs + temps <= _VMEM_BUDGET:
+            return t
+    return None
+
+
+def _plevel_bwd_pallas(x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g,
+                       interpret):
+    """(dx, dk1, db1, ..., db3) via the Pallas gz chain + XLA dk/db.
+
+    Returns None when the backward kernel does not fit VMEM (caller
+    falls back to the XLA-recompute VJP)."""
+    b, h, w, cin = x.shape
+    c = k1.shape[-1]
+    hh, wh = h // 2, w // 2
+    itemsize = jnp.dtype(x.dtype).itemsize
+    th = _pick_tile_bwd(hh, wh, cin, c, itemsize)
+    if th is None:
+        return None
+    sub = 16 if itemsize == 2 else 8
+    cin_p = _round_up(2 * cin, sub)
+    wl = s1x.shape[-1]
+
+    def frame(arr_nchw):
+        # (B, HH, C, WL) -> 2 zero rows of padding each side
+        return jnp.pad(arr_nchw, ((0, 0), (2, 2), (0, 0), (0, 0)))
+
+    def to_margin(arr_nhwc):
+        t = jnp.transpose(arr_nhwc, (0, 1, 3, 2))  # (B, HH, C, WH)
+        return jnp.pad(t, ((0, 0), (0, 0), (0, 0), (1, wl - wh - 1)))
+
+    gm = frame(to_margin(g))
+    outm = frame(to_margin(out))
+    s1m = frame(s1x)
+    s2m = frame(s2x)
+
+    k1t = jnp.transpose(_split_kernel(_remap_k1(k1), cin_p))  # (3CINP, 2C)
+    k2t = jnp.transpose(_split_kernel(k2, c))  # (3C, 3C)
+    k3t = jnp.transpose(_split_kernel(k3, c))
+
+    nt = hh // th
+    gz1, gz2, gz3, dxblk = pl.pallas_call(
+        functools.partial(
+            _plevel_bwd_kernel,
+            th=th,
+            hh=hh,
+            wh=wh,
+            cin_p=cin_p,
+            need_dx=True,
+            interpret=interpret,
+        ),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hh + 4, c, wl), lambda bi, i: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 4
+        + [
+            pl.BlockSpec(
+                k1t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                k2t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                k3t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, c, wl), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 3
+        + [
+            pl.BlockSpec(
+                (1, 1, 2 * th + 2, cin_p, wl),
+                lambda bi, i: (bi, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hh, c, wl), x.dtype) for _ in range(3)
+        ]
+        + [jax.ShapeDtypeStruct((b, nt, 2 * th + 2, cin_p, wl), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, c, wl), jnp.float32),
+            pltpu.VMEM((th + 4, c, wl), jnp.float32),
+            pltpu.VMEM((2 * th + 2, cin_p, wl), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gm, outm, s1m, s2m, k1t, k2t, k3t)
+
+    def to_nhwc(arr):
+        return jnp.transpose(arr[:, :, :, 1 : wh + 1], (0, 1, 3, 2))
+
+    gz1n, gz2n, gz3n = to_nhwc(gz1), to_nhwc(gz2), to_nhwc(gz3)
+
+    # ---- dx: overlap-add the per-tile s2d windows, undo W-s2d
+    core = dxblk[:, :, : 2 * th].reshape(b, h, cin_p, wl)
+    tails = dxblk[:, :-1, 2 * th :]  # (B, nt-1, 2, CINP, WL)
+    if nt > 1:
+        tails = jnp.pad(
+            tails, ((0, 0), (0, 0), (0, 2 * th - 2), (0, 0), (0, 0))
+        ).reshape(b, (nt - 1) * 2 * th, cin_p, wl)
+        tails = jnp.pad(tails, ((0, 0), (2 * th, 0), (0, 0), (0, 0)))
+        core = core + tails
+    dxs2d = core[:, :, : 2 * cin, 1 : wh + 1]  # strip pads/margins
+    dx = jnp.transpose(dxs2d, (0, 1, 3, 2)).reshape(b, h, w, cin)
+    dx = dx.astype(x.dtype)
+
+    # ---- dk/db: XLA vjp of the plain convolutions on saved activations
+    dn = ("NHWC", "HWIO", "NHWC")
+    s1n = to_nhwc(s1m[:, 2:-2])
+    s2n = to_nhwc(s2m[:, 2:-2])
+
+    def dk_of(inp, kern, stride, gz):
+        _, vjp = jax.vjp(
+            lambda kk: lax.conv_general_dilated(
+                inp, kk, (stride, stride), "SAME", dimension_numbers=dn
+            ),
+            kern,
+        )
+        return vjp(gz)[0]
+
+    dk1 = dk_of(x, k1, 2, gz1n)
+    dk2 = dk_of(s1n, k2, 1, gz2n)
+    dk3 = dk_of(s2n, k3, 1, gz3n)
+    db1 = jnp.sum(gz1n.astype(jnp.float32), axis=(0, 1, 2)).astype(b1.dtype)
+    db2 = jnp.sum(gz2n.astype(jnp.float32), axis=(0, 1, 2)).astype(b2.dtype)
+    db3 = jnp.sum(gz3n.astype(jnp.float32), axis=(0, 1, 2)).astype(b3.dtype)
+    return dx, dk1, db1, dk2, db2, dk3, db3
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def _plevel_vjp(x, k1, b1, k2, b2, k3, b3, tile_h, interpret):
     return _plevel_forward(
@@ -350,14 +672,21 @@ def _plevel_vjp(x, k1, b1, k2, b2, k3, b3, tile_h, interpret):
 
 
 def _plevel_fwd(x, k1, b1, k2, b2, k3, b3, tile_h, interpret):
-    out = _plevel_forward(
-        x, k1, b1, k2, b2, k3, b3, th=tile_h, interpret=interpret
+    out, s1x, s2x = _plevel_forward(
+        x, k1, b1, k2, b2, k3, b3, th=tile_h, interpret=interpret,
+        save_acts=True,
     )
-    return out, (x, k1, b1, k2, b2, k3, b3)
+    return out, (x, k1, b1, k2, b2, k3, b3, out, s1x, s2x)
 
 
 def _plevel_bwd(tile_h, interpret, res, g):
-    _, vjp = jax.vjp(_xla_level, *res)
+    x, k1, b1, k2, b2, k3, b3, out, s1x, s2x = res
+    grads = _plevel_bwd_pallas(
+        x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g, interpret
+    )
+    if grads is not None:
+        return grads
+    _, vjp = jax.vjp(_xla_level, x, k1, b1, k2, b2, k3, b3)
     return vjp(g)
 
 

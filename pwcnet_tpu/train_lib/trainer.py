@@ -133,7 +133,7 @@ class Trainer:
                 and args.warp_type == "bilinear"
             ):
                 # one VMEM pass for warp+correlation in the forward; the
-                # backward recomputes the warp with the XLA patch gather
+                # backward runs the scatter-free Pallas warp transpose
                 warp_cv_fn = warped_cost_volume
         import jax.numpy as jnp
 
@@ -152,6 +152,18 @@ class Trainer:
             cost_volume_fn=cv_fn,
             warp_cv_fn=warp_cv_fn,
             remat=getattr(args, "remat", False),
+            # fused Pallas conv fwd + gz-chain bwd on the two finest
+            # pyramid levels (measured -9% step time at 384x448 b4 bf16);
+            # off under spatial sharding (GSPMD cannot partition a
+            # pallas_call, it would force H-replication)
+            fused_pyramid_levels=(
+                2
+                if (
+                    getattr(args, "pallas", False)
+                    and self.mesh.shape.get("spatial", 1) == 1
+                )
+                else 0
+            ),
         )
         h, w = self.image_size
         self.state = create_train_state(

@@ -137,3 +137,52 @@ class TestModelFusedPyramid:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
+
+
+class TestPyramidBwdPallas:
+    """The Pallas backward gz chain vs the XLA-recompute VJP."""
+
+    def _grads(self, rng, shape=(1, 16, 8, 4), c=8):
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        params = _level_params(rng, shape[-1], c)
+        g = jnp.asarray(
+            rng.standard_normal(
+                (shape[0], shape[1] // 2, shape[2] // 2, c)
+            ).astype(np.float32)
+        )
+
+        def loss_fused(x, *p):
+            return jnp.sum(pyramid_level_fused(x, *p, interpret=True) * g)
+
+        from pwcnet_tpu.ops.pallas.pyramid_conv import _xla_level
+
+        def loss_xla(x, *p):
+            return jnp.sum(_xla_level(x, *p) * g)
+
+        got = jax.grad(loss_fused, argnums=tuple(range(7)))(x, *params)
+        want = jax.grad(loss_xla, argnums=tuple(range(7)))(x, *params)
+        return got, want
+
+    def test_multi_tile_grads_match(self, rng, monkeypatch):
+        """Tiled backward: cross-tile dx overlap rows and halo'd gz
+        chain must still be exact."""
+        from pwcnet_tpu.ops.pallas import pyramid_conv as pcp
+
+        monkeypatch.setattr(
+            pcp, "_pick_tile_bwd", lambda *a, **k: 2
+        )  # 4 tiles at hh=8
+        got, want = self._grads(rng)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+
+    def test_vmem_fallback_grads_match(self, rng, monkeypatch):
+        from pwcnet_tpu.ops.pallas import pyramid_conv as pcp
+
+        monkeypatch.setattr(pcp, "_pick_tile_bwd", lambda *a, **k: None)
+        got, want = self._grads(rng)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
