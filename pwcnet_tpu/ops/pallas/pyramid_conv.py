@@ -160,10 +160,10 @@ def _plevel_kernel(
 
     def row1(i, carry):
         g = r0 - 2 + i  # conv1 output row (half-res coords)
-        x3 = jnp.concatenate(
-            [xw_ref[0, pl.ds(2 * i + dy, 1), :, :][0] for dy in range(3)],
-            axis=0,
-        )  # (3*CINP, WL)
+        # contiguous-rows load + leading-dim merge: free in Mosaic,
+        # replaces a 3-copy concat
+        cinp = xw_ref.shape[2]
+        x3 = xw_ref[0, pl.ds(2 * i, 3), :, :].reshape(3 * cinp, -1)
         # stacked partials P = [P_0; P_1], P_d[c'] = sum_dy K1'[dy, d] @
         # x[dy, c']; out col x = P_0[col' x] + P_1[col' x+1]; col' c sits
         # at lane c+1
@@ -182,10 +182,7 @@ def _plevel_kernel(
     b2 = bias_ref[1, :].astype(f32)
 
     def conv33_row(src_ref, j, k_ref, b_vec):
-        x3 = jnp.concatenate(
-            [src_ref[pl.ds(j + dy, 1), :, :][0] for dy in range(3)],
-            axis=0,
-        )  # (3*C, WL)
+        x3 = src_ref[pl.ds(j, 3), :, :].reshape(3 * c, -1)
         p = jax.lax.dot(k_ref[...], x3, preferred_element_type=f32)
         return _leaky(
             rolled(p[:c], 0)

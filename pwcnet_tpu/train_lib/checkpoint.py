@@ -126,4 +126,9 @@ def restore_checkpoint_orbax(directory: str | os.PathLike, state_template):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(directory).absolute(), state_template)
+    restored = ckptr.restore(Path(directory).absolute(), state_template)
+    # Orbax returns jax.Arrays committed to device 0; hand back host
+    # arrays so the jitted train step is free to (re)place them with the
+    # mesh sharding of the incoming batches (a device-0-committed state
+    # conflicts with sharded inputs and fails jit's device check).
+    return _to_host(restored)
