@@ -50,13 +50,15 @@ def _cv_kernel(f0_ref, f1p_ref, out_ref, *, d: int, inv_c: float):
     n_taps = 2 * d + 1
     row0 = i * th
 
-    f0 = f0_ref[0].astype(jnp.float32)  # (TH, C, W)
+    # taps multiply in the model dtype (bf16 halves the VPU work) and
+    # accumulate over C in f32
+    f0 = f0_ref[0]  # (TH, C, W)
     scale = jnp.float32(inv_c)
     for v in range(n_taps):
         stripe = f1p_ref[0, pl.ds(row0 + v, th), :, :]  # (TH, C, W+2d)
         for u in range(n_taps):
-            win = stripe[:, :, u : u + w].astype(jnp.float32)
-            cost = jnp.sum(f0 * win, axis=1) * scale  # (TH, W)
+            win = stripe[:, :, u : u + w]
+            cost = jnp.sum(f0 * win, axis=1, dtype=jnp.float32) * scale
             cost = jnp.where(cost >= 0, cost, cost * jnp.float32(0.1))
             out_ref[0, :, v * n_taps + u, :] = cost.astype(out_ref.dtype)
 
@@ -94,13 +96,13 @@ def _cv_kernel_windowed(
     dma.start()
     dma.wait()
 
-    f0 = f0_ref[0].astype(jnp.float32)  # (TH, C, W)
+    f0 = f0_ref[0]  # (TH, C, W) model dtype; f32 accumulation below
     scale = jnp.float32(inv_c)
     for v in range(n_taps):
         stripe = f1w_ref[v : v + th, :, :]  # (TH, C, W+2d)
         for u in range(n_taps):
-            win = stripe[:, :, u : u + w].astype(jnp.float32)
-            cost = jnp.sum(f0 * win, axis=1) * scale  # (TH, W)
+            win = stripe[:, :, u : u + w]
+            cost = jnp.sum(f0 * win, axis=1, dtype=jnp.float32) * scale
             cost = jnp.where(cost >= 0, cost, cost * jnp.float32(0.1))
             out_ref[0, :, v * n_taps + u, :] = cost.astype(out_ref.dtype)
 
@@ -335,10 +337,11 @@ def _cv_bwd_df0_kernel(gt_ref, f1p_ref, out_ref, *, d: int):
         stripe = f1p_ref[0, pl.ds(row0 + v, th), :, :]  # (TH, C, W+2d)
         for u in range(n):
             g_plane = gt_ref[0, :, pl.ds(v * n + u, 1), :]  # (TH, 1, W)
+            # multiply in the stored dtype (bf16 halves VPU width),
+            # accumulate in f32
             acc = acc + (
-                g_plane.astype(jnp.float32)
-                * stripe[:, :, u : u + w].astype(jnp.float32)
-            )
+                g_plane * stripe[:, :, u : u + w]
+            ).astype(jnp.float32)
         return acc
 
     acc = jax.lax.fori_loop(
@@ -369,9 +372,8 @@ def _cv_bwd_df1_kernel(gtp_ref, f0p_ref, out_ref, *, d: int):
             cols = slice(2 * d - u, 2 * d - u + w)
             g_plane = g_stripe[:, u, cols]  # (TH, W)
             acc = acc + (
-                g_plane[:, None, :].astype(jnp.float32)
-                * f_stripe[:, :, cols].astype(jnp.float32)
-            )
+                g_plane[:, None, :] * f_stripe[:, :, cols]
+            ).astype(jnp.float32)
         return acc
 
     acc = jax.lax.fori_loop(
@@ -406,10 +408,11 @@ def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sem, *, d: int):
         stripe = f1w_ref[pl.ds(v, th), :, :]  # (TH, C, W+2d)
         for u in range(n):
             g_plane = gt_ref[0, :, pl.ds(v * n + u, 1), :]  # (TH, 1, W)
+            # multiply in the stored dtype (bf16 halves VPU width),
+            # accumulate in f32
             acc = acc + (
-                g_plane.astype(jnp.float32)
-                * stripe[:, :, u : u + w].astype(jnp.float32)
-            )
+                g_plane * stripe[:, :, u : u + w]
+            ).astype(jnp.float32)
         return acc
 
     acc = jax.lax.fori_loop(

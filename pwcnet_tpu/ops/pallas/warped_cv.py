@@ -213,13 +213,15 @@ def _wcv_kernel(
     outw_ref[0] = ws_ref[d : d + th, :, d : d + w].astype(outw_ref.dtype)
 
     # -- correlation over the in-VMEM warped stripe (as cost_volume_pallas)
-    f0t = f0_ref[0].astype(f32)  # (TH, C, W)
+    f0t = f0_ref[0]  # (TH, C, W) model dtype: bf16 taps halve VPU work
     scale = jnp.asarray(inv_c, f32)
     for v in range(n):
-        vs = ws_ref[v : v + th, :, :]  # (TH, C, W+2d)
+        vs = ws_ref[v : v + th, :, :].astype(f0t.dtype)  # (TH, C, W+2d)
         for u in range(n):
             win = vs[:, :, u : u + w]
-            cost = jnp.sum(f0t * win, axis=1) * scale  # (TH, W)
+            cost = (
+                jnp.sum(f0t * win, axis=1, dtype=f32) * scale
+            )  # (TH, W), f32 accumulation
             cost = jnp.where(cost >= 0, cost, cost * jnp.asarray(0.1, f32))
             out_ref[0, :, v * n + u, :] = cost.astype(out_ref.dtype)
 
