@@ -387,9 +387,14 @@ def _plevel_bwd_kernel(
     gz2_ref,
     gz3_ref,
     dx_ref,
+    gw_ref,
+    ow_ref,
+    s1w_ref,
+    s2w_ref,
     ds1_ref,
     ds2_ref,
     dxs_ref,
+    sems,
     *,
     th: int,
     hh: int,
@@ -410,10 +415,12 @@ def _plevel_bwd_kernel(
     lane-contraction dk/db correlations are left to XLA vjp on the saved
     activations (see `_plevel_bwd`).
 
-    g_ref/out_ref/s1_ref/s2_ref: (1, HH+4, C, WL) full-frame VMEM blocks,
+    g_ref/out_ref/s1_ref/s2_ref: (1, HH+4, C, WL) HBM (memory_space=ANY),
         2 zero rows of padding each side, margin-lane layout (data in
         lanes 1..wh). g/out rows hold conv3 output cotangent/value; s1/s2
-        the saved post-activation intermediates.
+        the saved post-activation intermediates. Each grid step DMAs only
+        its (TH+4)-row window into the g/o/s1/s2 window scratches — the
+        kernel fits VMEM at any frame height.
     k1t_ref: (3*CINP, 2C); k2t/k3t: (3C, 3C) transposed stacked kernels
     gz1/gz2/gz3_ref: (1, TH, C, WL) output tiles: d(z_i) on exact rows
     dx_ref: (1, 1, 2TH+2, CINP, WL) output: tile's dx window (W-s2d,
@@ -421,11 +428,32 @@ def _plevel_bwd_kernel(
     ds1/ds2_ref: (TH+4, C, WL) f32 scratch
     dxs_ref: (2TH+2, CINP, WL) f32 scratch
     """
+    bi = pl.program_id(0)
     ti = pl.program_id(1)
     r0 = ti * th
     f32 = jnp.float32
     c = gz1_ref.shape[2]
     wl = gz1_ref.shape[3]
+
+    # overlap the four row-window DMAs, then wait for all
+    copies = [
+        pltpu.make_async_copy(
+            src.at[pl.ds(bi, 1), pl.ds(r0, th + 4)], dst, sems.at[k]
+        )
+        for k, (src, dst) in enumerate(
+            [
+                (g_ref, gw_ref),
+                (out_ref, ow_ref),
+                (s1_ref, s1w_ref),
+                (s2_ref, s2w_ref),
+            ]
+        )
+    ]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
     # data lives in lanes 1..wh; the margin lanes of ds1/ds2 accumulate
     # gradients of the forward's zero margins, which must not leak into
     # data lanes through the rolls -> zero them before each chain stage
@@ -458,8 +486,8 @@ def _plevel_bwd_kernel(
     # ---- conv3 backward: gz3 rows r0-2 .. r0+th+2 fill ds2
     for jj in range(th + 4):
         # conv3 out row r = r0 - 2 + jj lives at padded index r0 + jj
-        gz = row(g_ref, r0 + jj).astype(f32) * leaky_mask(
-            row(out_ref, r0 + jj).astype(f32)
+        gz = row(gw_ref, jj).astype(f32) * leaky_mask(
+            row(ow_ref, jj).astype(f32)
         )
         if 2 <= jj < th + 2:
             gz3_ref[0, pl.ds(jj - 2, 1), :, :] = gz[None].astype(
@@ -476,7 +504,7 @@ def _plevel_bwd_kernel(
     for sj in range(1, th + 3):
         r = r0 - 2 + sj
         gz = ds2_ref[sj].astype(f32) * leaky_mask(
-            row(s2_ref, r0 + sj).astype(f32)
+            row(s2w_ref, sj).astype(f32)
         ) * lane_mask
         valid = jnp.logical_and(r >= 0, r < hh)
         gz = jnp.where(valid, gz, jnp.zeros_like(gz))
@@ -495,7 +523,7 @@ def _plevel_bwd_kernel(
     for sj in range(2, th + 2):
         r = r0 - 2 + sj
         gz = ds1_ref[sj].astype(f32) * leaky_mask(
-            row(s1_ref, r0 + sj).astype(f32)
+            row(s1w_ref, sj).astype(f32)
         ) * lane_mask
         valid = jnp.logical_and(r >= 0, r < hh)
         gz = jnp.where(valid, gz, jnp.zeros_like(gz))
@@ -514,18 +542,20 @@ def _plevel_bwd_kernel(
 
 
 def _pick_tile_bwd(hh, wh, cin, c, itemsize):
-    """Tile for the backward kernel; None -> XLA-recompute fallback."""
+    """Tile for the backward kernel; None -> XLA-recompute fallback.
+    The four frame inputs stay in HBM and stream as (TH+4)-row window
+    DMAs, so VMEM demand is tile-local at any frame height."""
     sub = 16 if itemsize == 2 else 8
     cin_p = _round_up(2 * cin, sub)
     wl = _round_up(wh + 2, 128)
-    frames = 4 * (hh + 4) * c * wl * itemsize  # g/out/s1/s2 blocks
     for t in range(min(hh, 16), 0, -1):
         if hh % t:
             continue
+        windows = 4 * (t + 4) * c * wl * itemsize  # g/out/s1/s2 windows
         scr = (2 * (t + 4) * c + (2 * t + 2) * cin_p) * wl * 4
         outs = 2 * (3 * t * c + (2 * t + 2) * cin_p) * wl * itemsize
         temps = (9 * c + 3 * c + 3 * cin_p) * wl * 4
-        if frames + scr + outs + temps <= _VMEM_BUDGET:
+        if windows + scr + outs + temps <= _VMEM_BUDGET:
             return t
     return None
 
@@ -576,13 +606,7 @@ def _plevel_bwd_pallas(x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g,
             interpret=interpret,
         ),
         grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec(
-                (1, hh + 4, c, wl), lambda bi, i: (bi, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        ]
-        * 4
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
         + [
             pl.BlockSpec(
                 k1t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
@@ -613,9 +637,14 @@ def _plevel_bwd_pallas(x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g,
         ]
         + [jax.ShapeDtypeStruct((b, nt, 2 * th + 2, cin_p, wl), x.dtype)],
         scratch_shapes=[
+            pltpu.VMEM((1, th + 4, c, wl), x.dtype),
+            pltpu.VMEM((1, th + 4, c, wl), x.dtype),
+            pltpu.VMEM((1, th + 4, c, wl), x.dtype),
+            pltpu.VMEM((1, th + 4, c, wl), x.dtype),
             pltpu.VMEM((th + 4, c, wl), jnp.float32),
             pltpu.VMEM((th + 4, c, wl), jnp.float32),
             pltpu.VMEM((2 * th + 2, cin_p, wl), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
     )(gm, outm, s1m, s2m, k1t, k2t, k3t)

@@ -88,20 +88,17 @@ class TestPyramidConvPlans:
 
 
 class TestPyramidBwdPlans:
-    def test_backward_fits_at_bf16_training_shapes(self):
-        """The flagship training path (384x448 bf16) gets the Pallas
-        gz-chain backward on both fused levels."""
+    def test_backward_fits_at_all_training_shapes(self):
+        """The windowed (HBM-streaming) gz-chain backward covers both
+        fused levels at training and full-frame scales, f32 and bf16."""
         from pwcnet_tpu.ops.pallas import pyramid_conv as pcp
 
         # (hh, wh, cin, c) after each level's stride-2
-        for hh, wh, cin, c in ((192, 224, 3, 16), (96, 112, 16, 32)):
-            assert pcp._pick_tile_bwd(hh, wh, cin, c, BF16) is not None
-
-    def test_backward_falls_back_beyond_frame_budget(self):
-        """f32 L0 at training size and 448x1024-scale training exceed
-        the full-frame VMEM blocks -> documented XLA-recompute fallback
-        (the fused forward still runs; only its VJP recomputes)."""
-        from pwcnet_tpu.ops.pallas import pyramid_conv as pcp
-
-        assert pcp._pick_tile_bwd(192, 224, 3, 16, F32) is None
-        assert pcp._pick_tile_bwd(224, 512, 3, 16, BF16) is None
+        for hh, wh, cin, c in (
+            (192, 224, 3, 16), (96, 112, 16, 32),
+            (224, 512, 3, 16), (112, 256, 16, 32),
+        ):
+            for item in (BF16, F32):
+                assert (
+                    pcp._pick_tile_bwd(hh, wh, cin, c, item) is not None
+                ), (hh, wh, cin, c, item)
