@@ -107,6 +107,7 @@ def main(argv=None):
     # per-scene pixel-weighted sums; loader order == dataset order
     scene_sum: dict = {}
     scene_px: dict = {}
+    scene_frames: dict = {}
     cursor = 0
     total = len(dset.samples)
     for images, flows_gt in loader:
@@ -131,15 +132,19 @@ def main(argv=None):
                 err[i].sum()
             )
             scene_px[scene] = scene_px.get(scene, 0) + err[i].size
+            scene_frames[scene] = scene_frames.get(scene, 0) + 1
         cursor += b
         show_progress(1, cursor, total)
     print()
 
+    # Per-scene breakdown: EPE is the pixel-weighted mean over the
+    # scene's frames (sum of per-pixel endpoint errors / pixel count).
     if len(scene_sum) > 1:
-        print(f"{'scene':<24} {'EPE':>8} {'frames(px-weighted)':>20}")
+        print(f"{'scene':<24} {'EPE':>8} {'frames':>8}")
         for scene in sorted(scene_sum):
             print(
-                f"{scene:<24} {scene_sum[scene] / scene_px[scene]:>8.4f}"
+                f"{scene:<24} {scene_sum[scene] / scene_px[scene]:>8.4f} "
+                f"{scene_frames[scene]:>8d}"
             )
     grand = sum(scene_sum.values()) / max(sum(scene_px.values()), 1)
     protocol = "full-frame" if pad_mode else f"center-crop {args.crop_shape}"

@@ -169,3 +169,114 @@ class FlowPredictor:
         params = self.params_for(h, w)
         fwd = self._jitted(h, w)
         return fwd(params, images[:, 0], images[:, 1])
+
+    # -- pipelined sequence inference -------------------------------------
+    def _preprocess(self, image: np.ndarray) -> np.ndarray:
+        if self.size_handling == "pad":
+            f = self.crop_factor
+            h, w = image.shape[:2]
+            pad = (
+                (0, -(-h // f) * f - h),
+                (0, -(-w // f) * f - w),
+                (0, 0),
+            )
+            image = np.pad(image, pad, mode="edge")
+        else:
+            image = factor_crop(image, self.crop_factor)
+        return image.astype(np.float32) / 255.0
+
+    def predict_sequence(
+        self, frames, depth: int = 2, batch: int = 1, fetch: str = "all"
+    ):
+        """Pipelined, batched inference over consecutive frame pairs.
+
+        The reference's sequence driver dispatches one blocking
+        ``sess.run`` per pair (test_continuous.py:42-65); a literal port
+        of that loop caps throughput at the host round-trip (~25-30 ms on
+        this TPU relay — ~1/14 of what the chip can do). Three changes
+        recover device-rate streaming:
+
+        - **batching**: ``batch`` consecutive pairs run per dispatch —
+          frames [i..i+B] become (images_0 = [i..i+B), images_1 =
+          [i+1..i+B]); a frame sequence is an almost-free batch-B
+          workload, and b4/b8 is where the chip's throughput knee sits
+          (PARITY.md §6 batch scaling);
+        - **pipelining**: up to ``depth`` dispatched batches stay in
+          flight (JAX dispatch is asynchronous), so host decode and the
+          fetch RTT overlap device compute;
+        - **async device->host copies**: transfers start as soon as each
+          batch's compute finishes (``copy_to_host_async``), not when the
+          host gets around to reading it.
+
+        Each frame is preprocessed once and reused as the next pair's
+        frame 0. The tail batch is padded by repeating the last frame
+        (static shapes — no recompilation) and the padding pairs are
+        dropped from the output.
+
+        Args:
+          frames: iterable of frame sources — file paths or uint8 HxWx3
+            arrays. Consecutive elements form the pairs.
+          depth: number of in-flight device computations.
+          batch: consecutive pairs per dispatch.
+          fetch: 'all' yields (flow_px, pyramid_px, images) per pair like
+            ``__call__``; 'flow' skips the pyramid/image transfers and
+            yields only flow_px (sequence-throughput mode).
+
+        Yields per consecutive pair, in order.
+        """
+        from collections import deque
+
+        def load(src):
+            img = load_image(src) if isinstance(src, str) else src
+            return img.shape[:2], self._preprocess(img)
+
+        def dispatch(buf, n_valid):
+            """buf: list of batch+1 (orig_hw, frame) tuples."""
+            imgs = np.stack([f for _, f in buf])  # (B+1, H, W, 3)
+            h, w = imgs.shape[1:3]
+            params = self.params_for(h, w)
+            fwd = self._jitted(h, w)
+            out = fwd(
+                params, jnp.asarray(imgs[:-1]), jnp.asarray(imgs[1:])
+            )  # asynchronous dispatch — no host sync here
+            flow_final, pyramid = out
+            # start the device->host transfers behind the compute
+            flow_final.copy_to_host_async()
+            if fetch != "flow":
+                for f in pyramid:
+                    f.copy_to_host_async()
+            return (out, imgs, [hw for hw, _ in buf[:-1]], n_valid)
+
+        def finalize(item):
+            (flow_final, pyramid), imgs, orig_hws, n_valid = item
+            flows = np.asarray(flow_final, np.float32)
+            for i in range(n_valid):
+                orig_h, orig_w = orig_hws[i]
+                flow_out = flows[i]
+                if self.size_handling == "pad":
+                    flow_out = flow_out[:orig_h, :orig_w]
+                if fetch == "flow":
+                    yield flow_out
+                else:
+                    pyramid_px = [
+                        np.asarray(f[i], np.float32)
+                        * (20.0 / 2 ** (self.num_levels - l))
+                        for l, f in enumerate(pyramid)
+                    ]
+                    yield flow_out, pyramid_px, imgs[i : i + 2]
+
+        pending: deque = deque()
+        buf: list = []
+        for src in frames:
+            buf.append(load(src))
+            if len(buf) == batch + 1:
+                pending.append(dispatch(buf, batch))
+                buf = buf[-1:]  # last frame starts the next batch
+                if len(pending) >= depth:
+                    yield from finalize(pending.popleft())
+        if len(buf) >= 2:  # tail: pad with the last frame
+            n_valid = len(buf) - 1
+            buf = buf + [buf[-1]] * (batch + 1 - len(buf))
+            pending.append(dispatch(buf, n_valid))
+        while pending:
+            yield from finalize(pending.popleft())

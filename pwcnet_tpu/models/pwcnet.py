@@ -73,6 +73,9 @@ class PWCDCNet(nn.Module):
     # compute the N finest pyramid levels with the fused Pallas kernel
     # (ops/pallas/pyramid_conv.py) — same math, same parameter tree
     fused_pyramid_levels: int = 0
+    # override for the fused level chain (e.g. the shard_map spatial
+    # wrapper, parallel.make_spatial_pyramid_level)
+    pyramid_level_fn: Any = None
 
     def setup(self):
         assert self.output_level < self.num_levels, (
@@ -98,6 +101,7 @@ class PWCDCNet(nn.Module):
             dtype=self.dtype,
             precision=self.precision,
             fused_levels=self.fused_pyramid_levels,
+            level_fn=self.pyramid_level_fn,
             name="fp_extractor",
         )
         # Estimators for every level are declared (like the reference's

@@ -63,6 +63,10 @@ class FeaturePyramidExtractor(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
     fused_levels: int = 0
+    # override for the fused 3-conv chain, e.g. the spatially-sharded
+    # shard_map wrapper (parallel.make_spatial_pyramid_level); same
+    # (x, k1, b1, k2, b2, k3, b3) signature as pyramid_level_fused
+    level_fn: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> list[jnp.ndarray]:
@@ -70,11 +74,15 @@ class FeaturePyramidExtractor(nn.Module):
         pyramid = []
         idx = 0
         for level in range(self.num_levels):
-            if level < self.fused_levels:
+            # the fused kernel always multiplies model-dtype operands with
+            # f32 accumulation; an explicit `precision` request (e.g.
+            # 'highest') must keep the nn.Conv path so it takes effect
+            if level < self.fused_levels and self.precision is None:
                 from pwcnet_tpu.ops.pallas.pyramid_conv import (
                     pyramid_level_fused,
                 )
 
+                level_fn = self.level_fn or pyramid_level_fused
                 kbs = []
                 cin = x.shape[-1]
                 for _ in range(3):
@@ -88,7 +96,7 @@ class FeaturePyramidExtractor(nn.Module):
                     )
                     cin = self.filters[level]
                     idx += 1
-                x = pyramid_level_fused(x.astype(self.dtype), *kbs)
+                x = level_fn(x.astype(self.dtype), *kbs)
                 pyramid.append(x)
                 continue
             for stride in (2, 1, 1):

@@ -4,10 +4,14 @@ from pwcnet_tpu.ops.pallas.cost_volume import (
     cost_volume_pallas,
     cost_volume_pallas_hpad,
 )
-from pwcnet_tpu.ops.pallas.warped_cv import warped_cost_volume
+from pwcnet_tpu.ops.pallas.warped_cv import (
+    warped_cost_volume,
+    warped_cost_volume_global,
+)
 
 __all__ = [
     "cost_volume_pallas",
     "cost_volume_pallas_hpad",
     "warped_cost_volume",
+    "warped_cost_volume_global",
 ]

@@ -128,6 +128,11 @@ def _cv_forward(
         mode, plan_th = _plan_fwd(
             h, w, c, d, jnp.dtype(f0.dtype).itemsize, tile_h
         )
+        if mode is None and interpret:
+            # interpreter-mode tests must keep exercising the kernel
+            # formulation regardless of the (hardware) VMEM model:
+            # force the windowed plan at the largest dividing tile
+            mode, plan_th = "windowed", _round_tile(h)
         if windowed is None:
             if mode is None:
                 # even one windowed tile row would not fit VMEM: XLA
@@ -250,6 +255,10 @@ def _plan_fwd(h, w, c, d, itemsize, tile_h=None):
     VMEM-resident (fastest — fetched once per batch element), 'windowed'
     DMAs per-tile row windows from HBM (large shapes), (None, None) means
     even one windowed tile row does not fit (fall back to XLA)."""
+    if tile_h is not None and h % tile_h:
+        # a tile that does not divide the output rows would leave the
+        # trailing rows unwritten (grid = h // tile_h): auto-plan instead
+        tile_h = None
     if tile_h is not None:
         if _fwd_vmem_bytes(h, w, c, d, tile_h, itemsize) <= _VMEM_BUDGET:
             return "full", tile_h
@@ -536,7 +545,14 @@ def _df1_vmem_bytes(h_out, w, c, d, th, itemsize, windowed):
 
 
 def _plan_bwd(h_out, w, c, d, itemsize, tile_h, bytes_fn):
-    """(mode, tile) for one backward kernel; same policy as `_plan_fwd`."""
+    """(mode, tile) for one backward kernel; same policy as `_plan_fwd`.
+
+    A user tile_h that does not divide ``h_out`` is ignored (auto-plan):
+    the hpad backward's df1_ext kernel covers h + 2d output rows, so a
+    tile that divides h but not h + 2d would silently leave the trailing
+    halo rows unwritten."""
+    if tile_h is not None and h_out % tile_h:
+        tile_h = None
     if tile_h is not None:
         if bytes_fn(h_out, w, c, d, tile_h, itemsize, False) <= _VMEM_BUDGET:
             return "full", tile_h
@@ -690,6 +706,9 @@ def _cv_bwd(search_range, tile_h, interpret, res, g):
 
     mode0, th0 = _plan_bwd(h, w, c, d, itemsize, tile_h, _df0_vmem_bytes)
     mode1, th1 = _plan_bwd(h, w, c, d, itemsize, tile_h, _df1_vmem_bytes)
+    if interpret:  # keep kernel coverage in interpreter-mode tests
+        mode0, th0 = mode0 or "windowed", th0 or _round_tile(h)
+        mode1, th1 = mode1 or "windowed", th1 or _round_tile(h)
     if mode0 is None or mode1 is None:
         return _cv_bwd_xla(f0, f1, g, d)
 
@@ -815,6 +834,9 @@ def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
 
     mode0, th0 = _plan_bwd(h, w, c, d, itemsize, tile_h, _df0_vmem_bytes)
     mode1, th1 = _plan_bwd(he, w, c, d, itemsize, tile_h, _df1_vmem_bytes)
+    if interpret:  # keep kernel coverage in interpreter-mode tests
+        mode0, th0 = mode0 or "windowed", th0 or _round_tile(h)
+        mode1, th1 = mode1 or "windowed", th1 or _round_tile(he)
     if mode0 is None or mode1 is None:
         return _cv_hpad_bwd_xla(res, g, d)
 

@@ -1,6 +1,10 @@
 """Device-mesh and sharding utilities."""
 
-from pwcnet_tpu.parallel.spatial import make_spatial_cost_volume
+from pwcnet_tpu.parallel.spatial import (
+    make_spatial_cost_volume,
+    make_spatial_pyramid_level,
+    make_spatial_warped_cv,
+)
 from pwcnet_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -11,6 +15,8 @@ from pwcnet_tpu.parallel.mesh import (
 
 __all__ = [
     "make_spatial_cost_volume",
+    "make_spatial_pyramid_level",
+    "make_spatial_warped_cv",
     "make_mesh",
     "batch_sharding",
     "put_global",

@@ -26,7 +26,19 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["make_spatial_cost_volume"]
+__all__ = [
+    "make_spatial_cost_volume",
+    "make_spatial_warped_cv",
+    "make_spatial_pyramid_level",
+]
+
+
+def _resolve_interpret(interpret):
+    """``interpret=None`` resolves per call: interpreter mode on CPU (no
+    Mosaic), compiled kernels on TPU."""
+    if interpret is not None:
+        return interpret
+    return jax.default_backend() == "cpu"
 
 
 def make_spatial_cost_volume(
@@ -34,7 +46,7 @@ def make_spatial_cost_volume(
     axis: str = "spatial",
     batch_axis: Optional[str] = "data",
     use_pallas: bool = True,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ):
     """Build a cost_volume_fn for H-sharded NHWC activations.
 
@@ -45,6 +57,7 @@ def make_spatial_cost_volume(
     n_shards = mesh.shape[axis]
 
     def cv_fn(f0, f1, search_range: int = 4):
+        ip = _resolve_interpret(interpret)
         d = int(search_range)
         # Adapt the specs to the actual shapes: replicate the batch when it
         # doesn't divide the data axis (e.g. batch-1 parameter init), and
@@ -107,13 +120,212 @@ def make_spatial_cost_volume(
                 )
 
                 return cost_volume_pallas_hpad(
-                    f0_l, f1_ext, d, None, interpret
+                    f0_l, f1_ext, d, None, ip
                 )
             return _cv_hpad_xla(f0_l, f1_ext, d)
 
         return _sharded(f0, f1)
 
     return cv_fn
+
+
+def make_spatial_warped_cv(
+    mesh: Mesh,
+    axis: str = "spatial",
+    batch_axis: Optional[str] = "data",
+    use_pallas: bool = True,
+    interpret: bool | None = None,
+):
+    """Build a warp_cv_fn (fused bilinear warp + cost volume) for
+    H-sharded NHWC activations — a drop-in for ``PWCDCNet.warp_cv_fn``.
+
+    Round 2 disabled the fused kernels under ``--spatial`` because GSPMD
+    cannot partition a ``pallas_call``; this is the explicit shard_map
+    formulation that re-enables them (VERDICT r2 #1):
+
+    - frame-1 features are ``all_gather``-ed over the spatial axis — the
+      warp's reach is flow-dependent and unbounded, so a fixed halo
+      cannot be exact; the gather transpose (psum_scatter) routes each
+      shard's full-frame df1 contributions back automatically;
+    - d flow halo rows are exchanged with the ring neighbors via
+      ``ppermute`` (the cost-volume taps read warped rows beyond the
+      shard, and warped row r needs flow row r); edge shards receive
+      zeros, which the kernel's valid-row bounds mask off exactly like
+      the unsharded frame boundary;
+    - the shard's global row offset is folded into ``flow[..., 1]`` (in
+      f32 — exact for integer offsets), so the per-shard kernel runs
+      with purely local row arithmetic (`ops.pallas.warped_cv.
+      warped_cost_volume_global`).
+    """
+    n_shards = mesh.shape[axis]
+
+    def wcv_fn(f0, f1, flow, search_range: int = 4):
+        ip = _resolve_interpret(interpret)
+        d = int(search_range)
+        b, h, w, _ = f0.shape
+        if h % n_shards or (n_shards > 1 and h // n_shards < d):
+            # not evenly shardable (or the flow halo would span several
+            # shards at a coarse level): GSPMD-partitionable XLA ops
+            from pwcnet_tpu.ops.cost_volume import cost_volume
+            from pwcnet_tpu.ops.warp import bilinear_warp
+
+            return cost_volume(f0, bilinear_warp(f1, flow), d)
+        b_axis = batch_axis
+        if b_axis is not None and (
+            b_axis not in mesh.shape or f0.shape[0] % mesh.shape[b_axis]
+        ):
+            b_axis = None
+        spec = P(b_axis, axis, None, None)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+        def _sharded(f0_l, f1_l, flow_l):
+            from pwcnet_tpu.ops.pallas.warped_cv import (
+                _masked_warp_rows,
+                warped_cost_volume_global,
+            )
+
+            h_l = f0_l.shape[1]
+            flow32 = flow_l.astype(jnp.float32)
+            if n_shards == 1:
+                f1_full = f1_l
+                halo_above = jnp.zeros_like(flow32[:, :d])
+                halo_below = jnp.zeros_like(flow32[:, :d])
+                off = jnp.float32(0.0)
+            else:
+                f1_full = jax.lax.all_gather(f1_l, axis, axis=1, tiled=True)
+                halo_above = jax.lax.ppermute(
+                    flow32[:, -d:],
+                    axis,
+                    perm=[(r, r + 1) for r in range(n_shards - 1)],
+                )
+                halo_below = jax.lax.ppermute(
+                    flow32[:, :d],
+                    axis,
+                    perm=[(r + 1, r) for r in range(n_shards - 1)],
+                )
+                off = (jax.lax.axis_index(axis) * h_l).astype(jnp.float32)
+            flow_ext = jnp.concatenate(
+                [halo_above, flow32, halo_below], axis=1
+            )
+            flow_ext = flow_ext.at[..., 1].add(off)
+            vb = jnp.stack([-off, jnp.float32(h - 1) - off])
+            if use_pallas:
+                return warped_cost_volume_global(
+                    f0_l, f1_full, flow_ext, vb, d, ip
+                )
+            we = _masked_warp_rows(f1_full, flow_ext, vb, d)
+            return _cv_hpad_xla(f0_l, we, d)
+
+        return _sharded(f0, f1, flow)
+
+    return wcv_fn
+
+
+def make_spatial_pyramid_level(
+    mesh: Mesh,
+    axis: str = "spatial",
+    batch_axis: Optional[str] = "data",
+    interpret: bool | None = None,
+):
+    """Build a fused-pyramid-level fn for H-sharded inputs — a drop-in
+    for ``FeaturePyramidExtractor.level_fn`` (the 3-conv chain
+    `ops.pallas.pyramid_conv.pyramid_level_fused` computes).
+
+    Per shard: 6 input halo rows are exchanged each way via ``ppermute``
+    (the chain's receptive field is 5 input rows; 6 keeps the stride-2
+    phase even), the fused kernel runs on the extended rows, and the 3
+    output rows interior to each shard boundary come out exactly — the
+    intermediate activations at halo rows are recomputed from real
+    neighbor rows, identical to the unsharded chain.
+
+    At the two *global* edges that equivalence breaks: the unsharded
+    chain SAME-zero-pads conv2/conv3's intermediate inputs beyond the
+    frame, while the halo recompute would feed them ``leaky(conv(0)+b)``
+    rows. The first/last shards therefore recompute their 3
+    edge-adjacent output rows with the XLA chain on a 12-row strip of
+    their true frame edge (SAME padding applies there naturally) and
+    patch them in; every shard computes the (cheap) strips to stay SPMD,
+    `jnp.where` keeps gradients routed through the path actually used.
+    """
+    n_shards = mesh.shape[axis]
+
+    def plevel_fn(x, k1, b1, k2, b2, k3, b3):
+        ip = _resolve_interpret(interpret)
+        from pwcnet_tpu.ops.pallas.pyramid_conv import (
+            _xla_level,
+            pyramid_level_fused,
+        )
+
+        b, h, w, _ = x.shape
+        hi = h // n_shards
+        if h % n_shards or hi % 2 or hi < 12 or w % 2:
+            # not evenly/usefully shardable: the plain conv chain (GSPMD
+            # partitions XLA convs with its own halo machinery)
+            return _xla_level(x, k1, b1, k2, b2, k3, b3)
+        b_axis = batch_axis
+        if b_axis is not None and (
+            b_axis not in mesh.shape or b % mesh.shape[b_axis]
+        ):
+            b_axis = None
+        spec = P(b_axis, axis, None, None)
+        rep = P()
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(spec, rep, rep, rep, rep, rep, rep),
+            out_specs=spec,
+            check_vma=False,
+        )
+        def _sharded(x_l, k1, b1, k2, b2, k3, b3):
+            ho = x_l.shape[1] // 2
+            if n_shards == 1:
+                halo_above = jnp.zeros_like(x_l[:, :6])
+                halo_below = jnp.zeros_like(x_l[:, :6])
+            else:
+                halo_above = jax.lax.ppermute(
+                    x_l[:, -6:],
+                    axis,
+                    perm=[(r, r + 1) for r in range(n_shards - 1)],
+                )
+                halo_below = jax.lax.ppermute(
+                    x_l[:, :6],
+                    axis,
+                    perm=[(r + 1, r) for r in range(n_shards - 1)],
+                )
+            x_ext = jnp.concatenate([halo_above, x_l, halo_below], axis=1)
+            y_ext = pyramid_level_fused(
+                x_ext, k1, b1, k2, b2, k3, b3, interpret=ip
+            )
+            y = y_ext[:, 3 : 3 + ho]
+
+            # global-edge fix-up (3 rows each; receptive analysis says 2
+            # are affected, 3 adds a safety row)
+            top = _xla_level(x_l[:, :12], k1, b1, k2, b2, k3, b3)[:, :3]
+            bot = _xla_level(x_l[:, -12:], k1, b1, k2, b2, k3, b3)[:, -3:]
+            idx = jax.lax.axis_index(axis)
+            row = jnp.arange(ho)[None, :, None, None]
+            y = jnp.where(
+                (idx == 0) & (row < 3),
+                jnp.pad(top, ((0, 0), (0, ho - 3), (0, 0), (0, 0))),
+                y,
+            )
+            y = jnp.where(
+                (idx == n_shards - 1) & (row >= ho - 3),
+                jnp.pad(bot, ((0, 0), (ho - 3, 0), (0, 0), (0, 0))),
+                y,
+            )
+            return y
+
+        return _sharded(x, k1, b1, k2, b2, k3, b3)
+
+    return plevel_fn
 
 
 def _cv_hpad_xla(f0, f1_ext, d):

@@ -75,9 +75,9 @@ def load_params(path: str | os.PathLike, params_template):
     checkpoint directories are handled transparently.
     """
     if Path(path).is_dir():
-        import orbax.checkpoint as ocp
-
-        raw = ocp.StandardCheckpointer().restore(Path(path).absolute())
+        ckptr = _orbax_checkpointer()
+        ckptr.wait_until_finished()  # never read a half-written save
+        raw = ckptr.restore(Path(path).absolute())
     else:
         raw = serialization.msgpack_restore(Path(path).read_bytes())
     if (
@@ -106,26 +106,54 @@ def latest_checkpoint(directory: str | os.PathLike, prefix: str = "model_"):
 
 
 # ----------------------------------------------------- orbax backend
-def save_checkpoint_orbax(directory: str | os.PathLike, state) -> str:
+_ORBAX_CKPTR = None
+
+
+def _orbax_checkpointer():
+    """Process-wide StandardCheckpointer, reused so asynchronous saves
+    can be awaited later (`wait_for_orbax_saves`)."""
+    global _ORBAX_CKPTR
+    if _ORBAX_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CKPTR = ocp.StandardCheckpointer()
+    return _ORBAX_CKPTR
+
+
+def save_checkpoint_orbax(
+    directory: str | os.PathLike, state, wait: bool = True
+) -> str:
     """Save a TrainState as an orbax checkpoint directory.
 
-    Orbax writes tensors sharded/async-capable — preferable to the
-    single-file msgpack backend for very large states or multi-host runs.
-    An existing directory is overwritten (preemption saves may repeat).
-    """
-    import orbax.checkpoint as ocp
+    Orbax writes tensors sharded — preferable to the single-file msgpack
+    backend for very large states or multi-host runs. An existing
+    directory is overwritten (preemption saves may repeat).
 
+    ``wait=False`` makes the save truly asynchronous: only the
+    device->host fetch happens inline (the state pytree is immutable, so
+    training can continue immediately); the file write runs on orbax's
+    background thread. Call `wait_for_orbax_saves()` before process exit
+    or before reading the checkpoint back. A still-running previous save
+    is awaited first (orbax allows one in-flight save per checkpointer).
+    """
     directory = Path(directory).absolute()
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()  # at most one save in flight
     ckptr.save(directory, _to_host(state), force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     return str(directory)
 
 
-def restore_checkpoint_orbax(directory: str | os.PathLike, state_template):
-    import orbax.checkpoint as ocp
+def wait_for_orbax_saves() -> None:
+    """Block until any in-flight asynchronous orbax save has committed."""
+    if _ORBAX_CKPTR is not None:
+        _ORBAX_CKPTR.wait_until_finished()
 
-    ckptr = ocp.StandardCheckpointer()
+
+def restore_checkpoint_orbax(directory: str | os.PathLike, state_template):
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()  # never read a half-written save
     restored = ckptr.restore(Path(directory).absolute(), state_template)
     # Orbax returns jax.Arrays committed to device 0; hand back host
     # arrays so the jitted train step is free to (re)place them with the

@@ -26,6 +26,7 @@ from pwcnet_tpu.train_lib.checkpoint import (
     restore_checkpoint_auto,
     save_checkpoint,
     save_checkpoint_orbax,
+    wait_for_orbax_saves,
 )
 from pwcnet_tpu.train_lib.metrics import MetricsLogger
 from pwcnet_tpu.train_lib.step import (
@@ -112,26 +113,39 @@ class Trainer:
 
     def _build_model(self):
         args = self.args
-        cv_fn = warp_cv_fn = None
+        cv_fn = warp_cv_fn = pyramid_level_fn = None
+        use_pallas = bool(getattr(args, "pallas", False))
+        use_fused = getattr(args, "fused", True) and (
+            args.warp_type == "bilinear"
+        )
         if self.mesh.shape.get("spatial", 1) > 1:
-            # explicit shard_map path: ppermute halo exchange over ICI,
-            # fused Pallas kernel per shard (XLA slices when --no-pallas)
-            from pwcnet_tpu.parallel import make_spatial_cost_volume
-
-            cv_fn = make_spatial_cost_volume(
-                self.mesh, use_pallas=bool(getattr(args, "pallas", False))
+            # explicit shard_map path: all the fused Pallas kernels run
+            # per shard (GSPMD cannot partition a pallas_call) — cost
+            # volume and pyramid levels with ppermute halo exchange over
+            # ICI, the fused warp+CV against the all-gathered frame
+            # (XLA formulations inside the same shard_map when
+            # --no-pallas)
+            from pwcnet_tpu.parallel import (
+                make_spatial_cost_volume,
+                make_spatial_pyramid_level,
+                make_spatial_warped_cv,
             )
-        elif getattr(args, "pallas", False):
+
+            cv_fn = make_spatial_cost_volume(self.mesh, use_pallas=use_pallas)
+            if use_fused:
+                warp_cv_fn = make_spatial_warped_cv(
+                    self.mesh, use_pallas=use_pallas
+                )
+            if use_pallas:
+                pyramid_level_fn = make_spatial_pyramid_level(self.mesh)
+        elif use_pallas:
             from pwcnet_tpu.ops.pallas import (
                 cost_volume_pallas,
                 warped_cost_volume,
             )
 
             cv_fn = cost_volume_pallas
-            if (
-                getattr(args, "fused", True)
-                and args.warp_type == "bilinear"
-            ):
+            if use_fused:
                 # one VMEM pass for warp+correlation in the forward; the
                 # backward runs the scatter-free Pallas warp transpose
                 warp_cv_fn = warped_cost_volume
@@ -154,16 +168,9 @@ class Trainer:
             remat=getattr(args, "remat", False),
             # fused Pallas conv fwd + gz-chain bwd on the two finest
             # pyramid levels (measured -9% step time at 384x448 b4 bf16);
-            # off under spatial sharding (GSPMD cannot partition a
-            # pallas_call, it would force H-replication)
-            fused_pyramid_levels=(
-                2
-                if (
-                    getattr(args, "pallas", False)
-                    and self.mesh.shape.get("spatial", 1) == 1
-                )
-                else 0
-            ),
+            # under spatial sharding they run per shard via shard_map
+            fused_pyramid_levels=2 if use_pallas else 0,
+            pyramid_level_fn=pyramid_level_fn,
         )
         h, w = self.image_size
         self.state = create_train_state(
@@ -244,15 +251,21 @@ class Trainer:
             except ValueError:  # not the main thread
                 break
 
-    def _save_state(self, stem: str) -> str | None:
+    def _save_state(self, stem: str, wait: bool = True) -> str | None:
         """Save the TrainState under ./model/<stem> with the configured
         backend (msgpack file or orbax directory). Process 0 only (the
-        state is replicated across processes)."""
+        state is replicated across processes).
+
+        ``wait=False`` (orbax backend): the file write overlaps the next
+        epoch's training; `train()` flushes in-flight saves before exit
+        and before preemption saves."""
         if not self.is_main:
             return None
         os.makedirs("./model", exist_ok=True)
         if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
-            return save_checkpoint_orbax(f"./model/{stem}", self.state)
+            return save_checkpoint_orbax(
+                f"./model/{stem}", self.state, wait=wait
+            )
         return save_checkpoint(f"./model/{stem}.msgpack", self.state)
 
     def _handle_preemption(self) -> bool:
@@ -355,7 +368,8 @@ class Trainer:
                 )
 
             # -- checkpoint ------------------------------------------------
-            self._save_state(f"model_{epoch + 1}")
+            # orbax: async — the write overlaps the next epoch's steps
+            self._save_state(f"model_{epoch + 1}", wait=False)
             if self.is_main:
                 print(
                     f"epoch {epoch + 1}/{args.num_epochs} step {g_step} "
@@ -367,6 +381,7 @@ class Trainer:
                     )
                 )
 
+        wait_for_orbax_saves()  # flush the last async epoch save
         self.tlogger.close()
         self.vlogger.close()
         if self.exp_saver is not None:

@@ -35,6 +35,14 @@ def build_parser():
                         default="crop",
                         help="Non-multiple-of-64 frames: 'crop' (reference "
                         "behavior) or 'pad' (keep all pixels) [crop]")
+    parser.add_argument("-t", "--time", dest="time", action="store_true",
+                        help="Measure sequence throughput (pairs/s) "
+                        "instead of writing figures")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="Consecutive pairs per dispatch "
+                        "[1; 8 with --time]")
+    parser.add_argument("--depth", type=int, default=2,
+                        help="In-flight dispatched batches [2]")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (tpu/cpu) [auto]")
     return parser
@@ -81,14 +89,39 @@ def main(argv=None):
         output_level=args.output_level,
         size_handling=args.size_handling,
     )
+    if args.time:
+        # sequence-throughput mode: batched + pipelined streaming with
+        # flow-only fetches; one warmup pass excludes compilation
+        import time
+
+        batch = args.batch or 8
+        warm = args.input_images[: batch + 1]
+        for _ in predictor.predict_sequence(
+            warm, depth=args.depth, batch=batch, fetch="flow"
+        ):
+            pass
+        n_pairs = len(args.input_images) - 1
+        start = time.perf_counter()
+        for _ in predictor.predict_sequence(
+            args.input_images, depth=args.depth, batch=batch, fetch="flow"
+        ):
+            pass
+        elapsed = time.perf_counter() - start
+        print(
+            f"sequence throughput: {n_pairs} pairs in {elapsed:.3f} s = "
+            f"{n_pairs / elapsed:.1f} pairs/s "
+            f"(batch={batch}, depth={args.depth})"
+        )
+        return
+
     os.makedirs("./test_figure", exist_ok=True)
 
-    pairs = zip(args.input_images[:-1], args.input_images[1:])
-    for img1_path, img2_path in pairs:
-        img0 = load_image(img1_path)
-        img1 = load_image(img2_path)
-        _, pyramid_px, images = predictor(img0, img1)
-
+    results = predictor.predict_sequence(
+        args.input_images, depth=args.depth, batch=args.batch or 1
+    )
+    for img1_path, (_, pyramid_px, images) in zip(
+        args.input_images[:-1], results
+    ):
         parts = re.split("[/.]", img1_path)[-3:-1]
         dname, fname = (parts if len(parts) == 2 else ("seq", parts[-1]))
         os.makedirs(f"./test_figure/{dname}", exist_ok=True)

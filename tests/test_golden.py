@@ -76,10 +76,13 @@ def test_conv_same_oracle_against_flax(rng):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.slow
 def test_full_depth_pwcdcnet_matches_oracle(rng):
     """Full 6-level / output-level-4 / d=4 configuration (the flagship
-    production config) against the NumPy oracle at 64x64."""
+    production config) against the NumPy oracle at 64x64.
+
+    Deliberately in the default (fast) suite: this is the end-to-end
+    parity gate for the production config — ~45 s on the 1-core host,
+    worth every second (ADVICE r2)."""
     model = PWCDCNet()  # all defaults
     images_0 = rng.random((1, 64, 64, 3)).astype(np.float32)
     images_1 = rng.random((1, 64, 64, 3)).astype(np.float32)

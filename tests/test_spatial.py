@@ -6,7 +6,13 @@ import numpy as np
 import pytest
 
 from pwcnet_tpu.ops import cost_volume
-from pwcnet_tpu.parallel import batch_sharding, make_mesh, make_spatial_cost_volume
+from pwcnet_tpu.ops.warp import bilinear_warp
+from pwcnet_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    make_spatial_cost_volume,
+    make_spatial_warped_cv,
+)
 
 
 def _shard(x, mesh, spatial_dim):
@@ -68,6 +74,202 @@ class TestSpatialCostVolume:
             np.asarray(gs1), np.asarray(gr1), rtol=1e-4, atol=1e-5
         )
 
+class TestSpatialWarpedCV:
+    """Fused warp+cost-volume under H-sharding (VERDICT r2 #1): the
+    sharded shard_map path must match the unsharded composed reference
+    bit-for-bit in value AND gradient, including flows that reach across
+    shard boundaries (the warp's reach is flow-dependent, hence the
+    all_gather of f1)."""
+
+    def _inputs(self, rng, b=4, h=16, w=8, c=6, d=2, fscale=5.0):
+        f0 = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        f1 = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        # flows large enough to cross several 4-row shards vertically
+        flow = jnp.asarray(
+            (rng.standard_normal((b, h, w, 2)) * fscale).astype(np.float32)
+        )
+        return f0, f1, flow
+
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    @pytest.mark.parametrize("layout", [(2, 4), (1, 8), (4, 2)])
+    def test_matches_unsharded(self, rng, use_pallas, layout):
+        data, spatial = layout
+        mesh = make_mesh(data=data, spatial=spatial)
+        wcv_fn = make_spatial_warped_cv(
+            mesh, use_pallas=use_pallas, interpret=use_pallas
+        )
+        d = 2
+        f0, f1, flow = self._inputs(rng, d=d)
+
+        want = np.asarray(cost_volume(f0, bilinear_warp(f1, flow), d))
+        got = np.asarray(
+            jax.jit(lambda a, b_, fl: wcv_fn(a, b_, fl, d))(
+                _shard(f0, mesh, 1), _shard(f1, mesh, 1), _shard(flow, mesh, 1)
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("fscale", [0.8, 9.0])
+    @pytest.mark.parametrize("use_pallas", [False, True])
+    def test_gradients_cross_shards(self, rng, use_pallas, fscale):
+        """d/d(f1) scatters into whatever shard the flow pointed at (the
+        all_gather transpose reduce-scatters it back); d/d(flow) halo
+        rows route over the ppermute transpose."""
+        mesh = make_mesh(data=2, spatial=4)
+        wcv_fn = make_spatial_warped_cv(
+            mesh, use_pallas=use_pallas, interpret=use_pallas
+        )
+        d = 2
+        f0, f1, flow = self._inputs(rng, b=2, c=3, d=d, fscale=fscale)
+        g = jnp.asarray(
+            rng.standard_normal(
+                (2, 16, 8, (2 * d + 1) ** 2)
+            ).astype(np.float32)
+        )
+
+        def loss_ref(a, b_, fl):
+            return jnp.sum(cost_volume(a, bilinear_warp(b_, fl), d) * g)
+
+        def loss_sh(a, b_, fl):
+            return jnp.sum(wcv_fn(a, b_, fl, d) * g)
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(f0, f1, flow)
+        gs = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2)))(
+            _shard(f0, mesh, 1), _shard(f1, mesh, 1), _shard(flow, mesh, 1)
+        )
+        for name, a, b_ in zip(("df0", "df1", "dflow"), gs, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4,
+                err_msg=name,
+            )
+
+    def test_indivisible_height_falls_back(self, rng):
+        """Levels whose H does not divide the spatial axis (e.g. 7 rows
+        at 1/64 of 448) take the GSPMD-partitionable XLA path."""
+        mesh = make_mesh(data=2, spatial=4)
+        wcv_fn = make_spatial_warped_cv(mesh, use_pallas=True, interpret=True)
+        d = 2
+        f0 = jnp.asarray(rng.standard_normal((2, 7, 8, 3)).astype(np.float32))
+        f1 = jnp.asarray(rng.standard_normal((2, 7, 8, 3)).astype(np.float32))
+        flow = jnp.asarray(
+            rng.standard_normal((2, 7, 8, 2)).astype(np.float32)
+        )
+        want = np.asarray(cost_volume(f0, bilinear_warp(f1, flow), d))
+        got = np.asarray(jax.jit(lambda *a: wcv_fn(*a, d))(f0, f1, flow))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.slow
+    def test_full_model_spatial_fused_matches_replicated(self, rng):
+        """PWCDCNet with BOTH sharded fused kernels (cv at level 0 and
+        warp+cv at finer levels) == the plain replicated model."""
+        from pwcnet_tpu.models import PWCDCNet
+
+        mesh = make_mesh(data=2, spatial=4)
+        cv_fn = make_spatial_cost_volume(mesh, use_pallas=True, interpret=True)
+        wcv_fn = make_spatial_warped_cv(mesh, use_pallas=True, interpret=True)
+        imgs0 = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+        imgs1 = jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32))
+
+        ref_model = PWCDCNet(num_levels=3, output_level=1, search_range=2)
+        variables = ref_model.init(jax.random.PRNGKey(0), imgs0, imgs1)
+        want, _ = ref_model.apply(variables, imgs0, imgs1)
+
+        sh_model = PWCDCNet(
+            num_levels=3,
+            output_level=1,
+            search_range=2,
+            cost_volume_fn=cv_fn,
+            warp_cv_fn=wcv_fn,
+        )
+        fwd = jax.jit(lambda v, a, b_: sh_model.apply(v, a, b_)[0])
+        got = fwd(
+            variables, _shard(imgs0, mesh, 1), _shard(imgs1, mesh, 1)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+
+class TestSpatialPyramidLevel:
+    """Fused 3-conv pyramid level under H-sharding: halo recompute for
+    interior boundaries + XLA strip patches at the global edges must
+    reproduce the unsharded chain exactly, in value and gradient."""
+
+    def _setup(self, rng, h=48, w=16, cin=3, c=16, b=2):
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+        ks = []
+        for ci, co in [(cin, c), (c, c), (c, c)]:
+            ks.append(
+                jnp.asarray(
+                    (rng.standard_normal((3, 3, ci, co)) * 0.3).astype(
+                        np.float32
+                    )
+                )
+            )
+            ks.append(
+                jnp.asarray(
+                    (rng.standard_normal((co,)) * 0.1).astype(np.float32)
+                )
+            )
+        return x, ks
+
+    @pytest.mark.parametrize("layout", [(2, 4), (4, 2)])
+    def test_matches_unsharded(self, rng, layout):
+        from pwcnet_tpu.ops.pallas.pyramid_conv import _xla_level
+        from pwcnet_tpu.parallel import make_spatial_pyramid_level
+
+        data, spatial = layout
+        mesh = make_mesh(data=data, spatial=spatial)
+        plevel = make_spatial_pyramid_level(mesh, interpret=True)
+        x, ks = self._setup(rng, b=data)
+        want = np.asarray(_xla_level(x, *ks))
+        got = np.asarray(
+            jax.jit(lambda x_, *k: plevel(x_, *k))(_shard(x, mesh, 1), *ks)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_gradients_match_unsharded(self, rng):
+        from pwcnet_tpu.ops.pallas.pyramid_conv import _xla_level
+        from pwcnet_tpu.parallel import make_spatial_pyramid_level
+
+        mesh = make_mesh(data=2, spatial=4)
+        plevel = make_spatial_pyramid_level(mesh, interpret=True)
+        x, ks = self._setup(rng)
+        g = jnp.asarray(
+            rng.standard_normal((2, 24, 8, 16)).astype(np.float32)
+        )
+
+        def loss_ref(x_, *k):
+            return jnp.sum(_xla_level(x_, *k) * g)
+
+        def loss_sh(x_, *k):
+            return jnp.sum(plevel(x_, *k) * g)
+
+        argnums = tuple(range(7))
+        gr = jax.grad(loss_ref, argnums=argnums)(x, *ks)
+        gs = jax.jit(jax.grad(loss_sh, argnums=argnums))(
+            _shard(x, mesh, 1), *ks
+        )
+        names = ("dx", "dk1", "db1", "dk2", "db2", "dk3", "db3")
+        for name, a, b_ in zip(names, gs, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4,
+                err_msg=name,
+            )
+
+    def test_small_level_falls_back(self, rng):
+        from pwcnet_tpu.ops.pallas.pyramid_conv import _xla_level
+        from pwcnet_tpu.parallel import make_spatial_pyramid_level
+
+        mesh = make_mesh(data=2, spatial=4)
+        plevel = make_spatial_pyramid_level(mesh, interpret=True)
+        x, ks = self._setup(rng, h=16)  # 4 rows/shard < 12
+        want = np.asarray(_xla_level(x, *ks))
+        got = np.asarray(jax.jit(plevel)(x, *ks))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestSpatialFullModel:
     @pytest.mark.slow
     def test_full_model_with_spatial_pallas_cv(self, rng):
         """PWCDCNet forward with the sharded cv == replicated forward."""

@@ -229,3 +229,35 @@ class TestOrbaxBackend:
             jax.tree_util.tree_leaves(restored.params),
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.slow
+    def test_async_save_overlaps_training(self, rng, tmp_path):
+        """wait=False returns before the write commits; training continues
+        meanwhile, and the checkpoint read back (after the implicit flush
+        in restore) is the exact state that was passed to save — not the
+        steps taken during the write."""
+        from pwcnet_tpu.train_lib import (
+            restore_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+        from pwcnet_tpu.train_lib.checkpoint import wait_for_orbax_saves
+
+        model, state = _tiny_state()
+        step = make_train_step(model, donate=False)
+        images, flows = _batch(rng)
+        state, _ = step(state, images, flows)
+        saved_params = jax.tree_util.tree_map(np.asarray, state.params)
+        save_checkpoint_orbax(tmp_path / "orbax_async", state, wait=False)
+        # training continues while the write is in flight
+        for _ in range(3):
+            state, _ = step(state, images, flows)
+        assert int(state.step) == 4
+        wait_for_orbax_saves()
+        _, fresh = _tiny_state()
+        restored = restore_checkpoint_orbax(tmp_path / "orbax_async", fresh)
+        assert int(restored.step) == 1  # the snapshot, not the live state
+        for a, b in zip(
+            jax.tree_util.tree_leaves(saved_params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
