@@ -61,6 +61,16 @@ class DataLoader:
             )
         self.process_index = int(process_index)
         self.process_count = int(process_count)
+        self.seed = int(seed)
+        # Epoch-deterministic ordering (sample-exact preemption resume):
+        # the shuffle order of epoch e is a pure function of (seed, e),
+        # so a resumed run can recreate any epoch's order and skip the
+        # batches the preempted run already trained on. `epoch` advances
+        # when an iteration RUNS TO COMPLETION (a preempted mid-epoch
+        # break leaves it on the current epoch); `start_batch` is a
+        # one-shot skip count consumed by the next iteration.
+        self.epoch = 0
+        self.start_batch = 0
         self._rng = np.random.default_rng(seed)
         self._native = self._native_setup(use_native)
 
@@ -148,15 +158,20 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batch_indices(self):
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        """This process's deterministic sample order for ``epoch``."""
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
         if self.process_count > 1:
             order = order[self.process_index :: self.process_count]
+        return order
+
+    def _batch_indices(self, skip: int = 0):
+        order = self.epoch_order(self.epoch)
         bs = self.batch_size
         end = len(order) - (len(order) % bs) if self.drop_last else len(order)
-        for i in range(0, end, bs):
+        for i in range(skip * bs, end, bs):
             chunk = order[i : i + bs]
             if chunk.size:
                 yield chunk
@@ -170,12 +185,17 @@ class DataLoader:
         return images, flows
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        # per-epoch augmentation stream (crop/flip draws), independent of
+        # how much of any previous epoch ran
+        self._rng = np.random.default_rng((self.seed, self.epoch, 1))
+        skip, self.start_batch = self.start_batch, 0
         if self._native is not None:
-            yield from self._iter_native()
+            yield from self._iter_native(skip)
+            self.epoch += 1
             return
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending = collections.deque()
-            batches = self._batch_indices()
+            batches = self._batch_indices(skip)
             # keep `prefetch_batches` batches of sample-futures in flight
             for _ in range(self.prefetch_batches):
                 idxs = next(batches, None)
@@ -195,13 +215,14 @@ class DataLoader:
                         ]
                     )
                 yield self._assemble(futures)
+        self.epoch += 1
 
-    def _iter_native(self):
+    def _iter_native(self, skip: int = 0):
         """C++ fast path: one thread assembles batch k+1 while batch k is
         consumed (the C++ core itself fans decoding out over threads)."""
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = collections.deque()
-            batches = self._batch_indices()
+            batches = self._batch_indices(skip)
             for _ in range(self.prefetch_batches):
                 idxs = next(batches, None)
                 if idxs is None:

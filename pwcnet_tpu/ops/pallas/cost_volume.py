@@ -72,34 +72,60 @@ def _round_tile(h: int, max_tile: int = 32) -> int:
 
 
 def _cv_kernel_windowed(
-    f0_ref, f1p_any, out_ref, f1w_ref, sem, *, d: int, inv_c: float
+    f0_ref, f1p_any, out_ref, f1w_ref, sems, *, d: int, inv_c: float
 ):
     """Windowed forward: like `_cv_kernel` but frame 1 stays in HBM and
-    only the (TH + 2d)-row window this tile reads is DMA'd into a VMEM
+    only the (TH + 2d)-row window this tile reads is DMA'd into VMEM
     scratch — used when the full-frame block would not fit VMEM.
+
+    The window DMAs are double-buffered across grid steps: step k starts
+    the copy for step k+1 into the other scratch slot before computing,
+    so the per-tile DMA latency hides behind the 81-tap correlation
+    instead of serializing in front of it (scratch and semaphores
+    persist across the sequential TPU grid).
 
     f0_ref:  (1, TH, C, W)        VMEM tile
     f1p_any: (1, H+2d, C, W+2d)   HBM (memory_space=ANY)
     out_ref: (1, TH, D*D, W)      VMEM tile
-    f1w_ref: (TH+2d, C, W+2d)     VMEM scratch (the window)
+    f1w_ref: (2, TH+2d, C, W+2d)  VMEM scratch (two window slots)
+    sems:    (2,) DMA semaphores, one per slot
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
     th = f0_ref.shape[1]
     w = out_ref.shape[3]
     n_taps = 2 * d + 1
-    row0 = i * th
 
-    dma = pltpu.make_async_copy(
-        f1p_any.at[bi, pl.ds(row0, th + 2 * d)], f1w_ref, sem
-    )
-    dma.start()
-    dma.wait()
+    step = bi * nt + i
+    slot = jax.lax.rem(step, 2)
+
+    def window_dma(slot_idx, bj, tj):
+        return pltpu.make_async_copy(
+            f1p_any.at[bj, pl.ds(tj * th, th + 2 * d)],
+            f1w_ref.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(step == 0)
+    def _warmup():
+        window_dma(slot, bi, i).start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < nb * nt)
+    def _prefetch():
+        window_dma(
+            jax.lax.rem(nstep, 2), nstep // nt, jax.lax.rem(nstep, nt)
+        ).start()
+
+    window_dma(slot, bi, i).wait()
 
     f0 = f0_ref[0]  # (TH, C, W) model dtype; f32 accumulation below
     scale = jnp.float32(inv_c)
     for v in range(n_taps):
-        stripe = f1w_ref[v : v + th, :, :]  # (TH, C, W+2d)
+        stripe = f1w_ref[slot, v : v + th, :, :]  # (TH, C, W+2d)
         for u in range(n_taps):
             win = stripe[:, :, u : u + w]
             cost = jnp.sum(f0 * win, axis=1, dtype=jnp.float32) * scale
@@ -162,8 +188,8 @@ def _cv_forward(
         )
         f1_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((th + 2 * d, c, wl), f1p_t.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, th + 2 * d, c, wl), f1p_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kernel = functools.partial(_cv_kernel, d=d, inv_c=1.0 / c)
@@ -239,12 +265,13 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _fwd_windowed_vmem_bytes(h, w, c, d, th, itemsize):
-    """VMEM demand of the windowed forward: the f1 window scratch replaces
-    the full-frame block (f1 itself stays in HBM)."""
+    """VMEM demand of the windowed forward: two f1 window slots (the
+    DMAs double-buffer across grid steps) replace the full-frame block
+    (f1 itself stays in HBM)."""
     taps = (2 * d + 1) ** 2
     lanes_w = _round_up(w, 128)
     lanes_wp = _round_up(w + 2 * d, 128)
-    window = (th + 2 * d) * c * lanes_wp * itemsize
+    window = 2 * (th + 2 * d) * c * lanes_wp * itemsize
     f0_tile = th * c * lanes_w * itemsize
     out_tile = th * _round_up(taps, 8) * lanes_w * itemsize
     return window + 2 * (f0_tile + out_tile)
@@ -391,30 +418,50 @@ def _cv_bwd_df1_kernel(gtp_ref, f0p_ref, out_ref, *, d: int):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sem, *, d: int):
+def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sems, *, d: int):
     """Windowed df0: frame 1 stays in HBM; each tile DMAs its halo'd
-    (TH + 2d)-row window into VMEM scratch.
+    (TH + 2d)-row window into VMEM scratch, double-buffered across grid
+    steps (see `_cv_kernel_windowed`).
 
     gt_ref:  (1, TH, T, W)        VMEM tile
     f1p_any: (1, H+2d, C, W+2d)   HBM (memory_space=ANY)
     out_ref: (1, TH, C, W)        VMEM tile
-    f1w_ref: (TH+2d, C, W+2d)     VMEM scratch
+    f1w_ref: (2, TH+2d, C, W+2d)  VMEM scratch (two window slots)
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
     th = out_ref.shape[1]
     w = out_ref.shape[3]
     n = 2 * d + 1
-    row0 = i * th
 
-    dma = pltpu.make_async_copy(
-        f1p_any.at[bi, pl.ds(row0, th + 2 * d)], f1w_ref, sem
-    )
-    dma.start()
-    dma.wait()
+    step = bi * nt + i
+    slot = jax.lax.rem(step, 2)
+
+    def window_dma(slot_idx, bj, tj):
+        return pltpu.make_async_copy(
+            f1p_any.at[bj, pl.ds(tj * th, th + 2 * d)],
+            f1w_ref.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(step == 0)
+    def _warmup():
+        window_dma(slot, bi, i).start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < nb * nt)
+    def _prefetch():
+        window_dma(
+            jax.lax.rem(nstep, 2), nstep // nt, jax.lax.rem(nstep, nt)
+        ).start()
+
+    window_dma(slot, bi, i).wait()
 
     def body(v, acc):
-        stripe = f1w_ref[pl.ds(v, th), :, :]  # (TH, C, W+2d)
+        stripe = f1w_ref[slot, pl.ds(v, th), :, :]  # (TH, C, W+2d)
         for u in range(n):
             g_plane = gt_ref[0, :, pl.ds(v * n + u, 1), :]  # (TH, 1, W)
             # multiply in the stored dtype (bf16 halves VPU width),
@@ -441,40 +488,76 @@ def _cv_bwd_df1_kernel_w(
     VMEM window is unprovable for Mosaic, and unrolling all 81 taps OOMs
     scoped vmem; rows are untiled, so slab-per-v sidesteps both.)
 
+    Both DMA streams are double-buffered: the f0 window across grid
+    steps (as in `_cv_kernel_windowed`), the gt slabs across the
+    fori_loop's vertical-tap iterations (slab v+1 starts before slab v's
+    nine horizontal products run).
+
     gtv_any: (1, n*R, NP, WL)     HBM, R = rows_in = H_out + 2d; slab v
              holds gt rows [v*R, (v+1)*R) with the u tap in sublanes
              (padded to NP)
     f0p_any: (1, R, C, WL)        HBM
     out_ref: (1, TH, C, W)        VMEM tile
-    gts_ref: (1, TH, NP, WL)      VMEM scratch (f32) — one v slab window
-    f0w_ref: (1, TH+2d, C, WL)    VMEM scratch
+    gts_ref: (2, 1, TH, NP, WL)   VMEM scratch (f32) — two slab slots
+    f0w_ref: (2, 1, TH+2d, C, WL) VMEM scratch — two window slots
+    sems:    (4,) DMA semaphores — [0:2] slabs, [2:4] f0 windows
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
     th = out_ref.shape[1]
     w = out_ref.shape[3]
     n = 2 * d + 1
     row0 = i * th
 
-    cp_f = pltpu.make_async_copy(
-        f0p_any.at[pl.ds(bi, 1), pl.ds(row0, th + 2 * d)], f0w_ref, sems.at[1]
-    )
-    cp_f.start()
-    cp_f.wait()
+    step = bi * nt + i
+    fslot = jax.lax.rem(step, 2)
+
+    def window_dma(slot_idx, bj, tj):
+        return pltpu.make_async_copy(
+            f0p_any.at[pl.ds(bj, 1), pl.ds(tj * th, th + 2 * d)],
+            f0w_ref.at[slot_idx],
+            sems.at[2 + slot_idx],
+        )
+
+    def slab_dma(slot_idx, bj, r0j, v):
+        # output rows [r0j, r0j+th) read source rows r0j + 2d - v + j of
+        # slab v, which starts at absolute row v * rows_in
+        src0 = v * (rows_in - 1) + r0j + 2 * d
+        return pltpu.make_async_copy(
+            gtv_any.at[pl.ds(bj, 1), pl.ds(src0, th)],
+            gts_ref.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(step == 0)
+    def _warmup():
+        window_dma(fslot, bi, i).start()
+
+    nstep = step + 1
+
+    @pl.when(nstep < nb * nt)
+    def _prefetch():
+        window_dma(
+            jax.lax.rem(nstep, 2), nstep // nt, jax.lax.rem(nstep, nt)
+        ).start()
+
+    slab_dma(0, bi, row0, 0).start()
+    window_dma(fslot, bi, i).wait()
 
     def body(v, acc):
-        # output rows [row0, row0+th) read source rows row0 + 2d - v + j
-        # of slab v, which starts at absolute row v * rows_in
-        src0 = v * (rows_in - 1) + row0 + 2 * d
-        cp_g = pltpu.make_async_copy(
-            gtv_any.at[pl.ds(bi, 1), pl.ds(src0, th)], gts_ref, sems.at[0]
-        )
-        cp_g.start()
-        cp_g.wait()
-        f_stripe = f0w_ref[0, pl.ds(2 * d - v, th), :, :]  # (TH, C, WL)
+        vslot = jax.lax.rem(v, 2)
+
+        @pl.when(v + 1 < n)
+        def _next_slab():
+            slab_dma(jax.lax.rem(v + 1, 2), bi, row0, v + 1).start()
+
+        slab_dma(vslot, bi, row0, v).wait()
+        f_stripe = f0w_ref[fslot, 0, pl.ds(2 * d - v, th), :, :]
         for u in range(n):
             cols = slice(2 * d - u, 2 * d - u + w)
-            g_plane = gts_ref[0, :, u, cols]  # (TH, W)
+            g_plane = gts_ref[vslot, 0, :, u, cols]  # (TH, W)
             acc = acc + (
                 g_plane.astype(jnp.float32)[:, None, :]
                 * f_stripe[:, :, cols].astype(jnp.float32)
@@ -519,7 +602,8 @@ def _df0_vmem_bytes(h, w, c, d, th, itemsize, windowed):
     lanes_wp = _round_up(w + 2 * d, 128)
     gt_tile = th * _round_up(taps, 8) * lanes_w * 4  # gt is always f32
     out_tile = th * c * lanes_w * itemsize
-    f1_rows = (th + 2 * d) if windowed else (h + 2 * d)
+    # windowed: two double-buffered window slots
+    f1_rows = 2 * (th + 2 * d) if windowed else (h + 2 * d)
     return (
         f1_rows * c * lanes_wp * itemsize
         + 2 * (gt_tile + out_tile)
@@ -534,9 +618,10 @@ def _df1_vmem_bytes(h_out, w, c, d, th, itemsize, windowed):
     lanes_wp = _round_up(w + 2 * d, 128)
     out_tile = th * c * lanes_w * itemsize
     if windowed:
-        # one per-v gt slab window + the f0 window (gt is always f32)
-        gt = th * _round_up(n, 8) * lanes_wp * 4
-        f0 = (th + 2 * d) * c * lanes_wp * itemsize
+        # two gt slab slots + two f0 window slots (double-buffered DMAs;
+        # gt is always f32)
+        gt = 2 * th * _round_up(n, 8) * lanes_wp * 4
+        f0 = 2 * (th + 2 * d) * c * lanes_wp * itemsize
         return gt + f0 + 2 * out_tile + _bwd_temp_bytes(w, c, d, th)
     rows = h_out + 2 * d
     gt = rows * _round_up(taps, 8) * lanes_wp * 4
@@ -583,8 +668,8 @@ def _run_df0(gt_t, f1p_t, h, w, c, d, th, windowed, interpret, out_dtype):
         )
         f1_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((th + 2 * d, c, wl), f1p_t.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, th + 2 * d, c, wl), f1p_t.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kernel = functools.partial(_cv_bwd_df0_kernel, d=d)
@@ -655,9 +740,9 @@ def _run_df1(
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         scratch = [
-            pltpu.VMEM((1, th, np_pad, wl), gtp_t.dtype),
-            pltpu.VMEM((1, th + 2 * d, c, wl), f0p_t.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 1, th, np_pad, wl), gtp_t.dtype),
+            pltpu.VMEM((2, 1, th + 2 * d, c, wl), f0p_t.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ]
     else:
         kernel = functools.partial(_cv_bwd_df1_kernel, d=d)

@@ -180,10 +180,20 @@ class Trainer:
             learning_rate=args.lr,
             lr_scheduling=args.lr_scheduling,
         )
+        self._resume_epoch = 0
+        self._resume_batch = 0
         if args.resume is not None:
             print(f"Loading learned model from checkpoint {args.resume}")
             # auto-detects the backend: orbax directory vs msgpack file
             self.state = restore_checkpoint_auto(args.resume, self.state)
+            cursor = self._read_cursor(args.resume)
+            if cursor is not None:
+                self._resume_epoch = int(cursor.get("epoch", 0))
+                self._resume_batch = int(cursor.get("batch", 0))
+                print(
+                    "sample-exact resume: continuing epoch "
+                    f"{self._resume_epoch + 1} at batch {self._resume_batch}"
+                )
 
         loss_kwargs = dict(
             loss_name=args.loss,
@@ -251,28 +261,71 @@ class Trainer:
             except ValueError:  # not the main thread
                 break
 
-    def _save_state(self, stem: str, wait: bool = True) -> str | None:
+    @staticmethod
+    def _cursor_path(ckpt_path: str) -> str:
+        """Sidecar path of a checkpoint's loader cursor: X.msgpack ->
+        X.cursor.json; an orbax directory X -> sibling X.cursor.json."""
+        p = str(ckpt_path)
+        if p.endswith(".msgpack"):
+            p = p[: -len(".msgpack")]
+        return p + ".cursor.json"
+
+    def _read_cursor(self, ckpt_path):
+        import json
+
+        path = self._cursor_path(ckpt_path)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def _save_state(
+        self, stem: str, wait: bool = True, cursor: dict | None = None
+    ) -> str | None:
         """Save the TrainState under ./model/<stem> with the configured
         backend (msgpack file or orbax directory). Process 0 only (the
         state is replicated across processes).
 
         ``wait=False`` (orbax backend): the file write overlaps the next
         epoch's training; `train()` flushes in-flight saves before exit
-        and before preemption saves."""
+        and before preemption saves.
+
+        ``cursor``: the loader position {"epoch", "batch"} to persist as
+        a sidecar json, written BEFORE the (atomic) state write so a
+        crash between the two leaves no state file claiming a cursor it
+        doesn't have. Resume fast-forwards the loader to it — the
+        reference replays up to a full epoch's samples instead
+        (train.py:164-166)."""
         if not self.is_main:
             return None
+        import json
+
         os.makedirs("./model", exist_ok=True)
         if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
-            return save_checkpoint_orbax(
-                f"./model/{stem}", self.state, wait=wait
-            )
-        return save_checkpoint(f"./model/{stem}.msgpack", self.state)
+            path = f"./model/{stem}"
+        else:
+            path = f"./model/{stem}.msgpack"
+        cpath = self._cursor_path(path)
+        if cursor is not None:
+            with open(cpath, "w") as f:
+                json.dump(cursor, f)
+        elif os.path.exists(cpath):
+            os.remove(cpath)  # a cursor-less save must not inherit one
+        if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
+            return save_checkpoint_orbax(path, self.state, wait=wait)
+        return save_checkpoint(path, self.state)
 
-    def _handle_preemption(self) -> bool:
+    def _handle_preemption(self, epoch: int, batch: int) -> bool:
         if not getattr(self, "_preempted", False):
             return False
-        path = self._save_state("model_preempt")
-        print(f"\npreempted: state saved to {path} (step {int(self.state.step)})")
+        path = self._save_state(
+            "model_preempt", cursor={"epoch": epoch, "batch": batch}
+        )
+        print(
+            f"\npreempted: state saved to {path} (step "
+            f"{int(self.state.step)}, epoch {epoch} batch {batch}); "
+            "--resume continues sample-exactly"
+        )
         return True
 
     def train(self):
@@ -281,14 +334,22 @@ class Trainer:
         self._install_preemption_handler()
         from tqdm import tqdm
 
-        for epoch in range(args.num_epochs):
+        for epoch in range(self._resume_epoch, args.num_epochs):
             # -- training ------------------------------------------------
             # Per-batch progress like the reference (train.py:119). Metrics
             # are only fetched at log_interval — reading them every batch
             # would force a device sync per step.
+            # Sample-exact resume: pin the loader to this epoch's
+            # deterministic order; on the resumed epoch skip the batches
+            # the preempted run already trained on.
+            self.tloader.epoch = epoch
+            skip = self._resume_batch if epoch == self._resume_epoch else 0
+            self.tloader.start_batch = skip
+            batch_idx = skip
             last_metrics = None
             pbar = tqdm(
                 total=self.num_batches,
+                initial=skip,
                 desc=f"epoch {epoch + 1}/{args.num_epochs}",
                 unit="batch",
                 leave=False,
@@ -304,7 +365,8 @@ class Trainer:
                     self.state, images, flows_gt
                 )
                 last_metrics = metrics
-                if self._handle_preemption():
+                batch_idx += 1
+                if self._handle_preemption(epoch, batch_idx):
                     pbar.close()
                     return self.state
                 g_step = int(self.state.step)

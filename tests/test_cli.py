@@ -219,6 +219,62 @@ class TestPreemption:
         )
         assert int(restored.step) == 2
 
+    @pytest.mark.slow
+    def test_resume_is_sample_exact(self, tmp_path, monkeypatch):
+        """Kill mid-epoch, resume, and verify every sample of the epoch
+        was trained on exactly once: the preempted run consumes the first
+        k batches of the epoch's deterministic order, the resumed run
+        consumes exactly the remaining ones (the reference re-runs the
+        whole epoch, double-counting k batches — train.py:164-166)."""
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.data import DataLoader, get_dataset
+        from pwcnet_tpu.train_lib.trainer import Trainer
+
+        monkeypatch.chdir(tmp_path)
+        argv = ["-d", "Synthetic", "-dd", ".", "-e", "1", "-b", "4",
+                "--crop_type", "none", "--no-visualize"] + TINY_MODEL
+        args = train_cli.build_parser().parse_args(argv)
+        args.pallas = False
+
+        # the expected epoch-0 batch fingerprints, in order
+        ref_loader = DataLoader(
+            get_dataset("Synthetic")(train_or_val="train", dataset_dir="."),
+            batch_size=4, shuffle=True,
+        )
+        expected = [imgs.tobytes() for imgs, _ in ref_loader]
+        assert len(expected) == 8  # 32 samples / b4
+
+        def record_steps(trainer, log, preempt_at=None):
+            orig = trainer.train_step
+
+            def stepper(state, images, flows):
+                log.append(np.asarray(images, np.float32).tobytes())
+                if preempt_at is not None and len(log) == preempt_at:
+                    trainer._preempted = True
+                return orig(state, images, flows)
+
+            trainer.train_step = stepper
+            trainer.train()
+
+        run1: list = []
+        t1 = Trainer(args)
+        record_steps(t1, run1, preempt_at=3)
+        assert (tmp_path / "model" / "model_preempt.cursor.json").exists()
+
+        args2 = train_cli.build_parser().parse_args(
+            argv + ["-r", str(tmp_path / "model" / "model_preempt.msgpack")]
+        )
+        args2.pallas = False
+        run2: list = []
+        t2 = Trainer(args2)
+        assert (t2._resume_epoch, t2._resume_batch) == (0, 3)
+        record_steps(t2, run2)
+
+        assert run1 == expected[:3]
+        assert run2 == expected[3:]  # no replay, no gap
+        assert int(t2.state.step) == 8  # 3 + 5 steps total
+
 
 class TestPredictorShapeCache:
     def test_mixed_frame_sizes_recompile_per_shape(self, tmp_path):
