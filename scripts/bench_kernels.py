@@ -5,6 +5,11 @@ Times the windowed (HBM-streaming) kernel shapes from PARITY.md §6 —
 forward and fwd+bwd — against the XLA shift-op formulation. Used to
 record the effect of the double-buffered window DMAs (round 3).
 
+The XLA fwd+bwd comparison autodiffs the 81-slice formulation, whose
+transpose is a dynamic_update_slice scatter loop that can take tens of
+minutes to COMPILE at the 1024x1024 shape — pass --xla-bwd to include
+it; by default only the XLA forward is compared there.
+
 Run:  python scripts/bench_kernels.py
 """
 
@@ -20,6 +25,11 @@ import jax
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=50)
+    parser.add_argument("--xla", action="store_true",
+                        help="Also time the XLA formulation (slow "
+                        "compiles — the fwd+bwd autodiff transpose is a "
+                        "scatter loop; round-2 XLA numbers are recorded "
+                        "in PARITY.md §6)")
     args = parser.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -37,14 +47,14 @@ def main():
     rng = np.random.default_rng(0)
     d = 4
     shapes = [
-        ("L4 of 1024x1024 b1", (1, 256, 256, 32)),
         ("sharded L4 b4 112x256", (4, 112, 256, 32)),
+        ("L4 of 1024x1024 b1", (1, 256, 256, 32)),
     ]
-    print(f"devices: {jax.devices()}  iters={args.iters}")
+    print(f"devices: {jax.devices()}  iters={args.iters}", flush=True)
     for label, (b, h, w, c) in shapes:
         for dtype in (jnp.float32, jnp.bfloat16):
             dt = jnp.dtype(dtype)
-            mode_f, th_f = cvp._plan_fwd(h, w, c, d, dt.itemsize)
+            mode_f, _ = cvp._plan_fwd(h, w, c, d, dt.itemsize)
             mode_b0, _ = cvp._plan_bwd(
                 h, w, c, d, dt.itemsize, None, cvp._df0_vmem_bytes
             )
@@ -56,13 +66,17 @@ def main():
             g = jnp.asarray(
                 rng.standard_normal((b, h, w, (2 * d + 1) ** 2)), dtype
             )
+            tag = f"{label} {dt.name} [fwd={mode_f},df0={mode_b0},df1={mode_b1}]"
 
-            t_fwd_p = device_timeit(
+            t = device_timeit(
                 lambda a: cost_volume_pallas(a, f1, d), f0, iters=args.iters
             )
-            t_fwd_x = device_timeit(
-                lambda a: cost_volume(a, f1, d), f0, iters=args.iters
-            )
+            print(f"{tag}: fwd pallas {t * 1e3:6.2f} ms", flush=True)
+            if args.xla:
+                t = device_timeit(
+                    lambda a: cost_volume(a, f1, d), f0, iters=args.iters
+                )
+                print(f"{tag}: fwd xla    {t * 1e3:6.2f} ms", flush=True)
 
             def bwd_of(fn):
                 def run(a):
@@ -76,17 +90,15 @@ def main():
 
                 return run
 
-            t_bwd_p = device_timeit(
+            t = device_timeit(
                 bwd_of(cost_volume_pallas), f0, iters=args.iters
             )
-            t_bwd_x = device_timeit(bwd_of(cost_volume), f0, iters=args.iters)
-            print(
-                f"{label:>24} {dt.name:>8} plan[fwd={mode_f},df0={mode_b0},"
-                f"df1={mode_b1}] | fwd pallas {t_fwd_p * 1e3:6.2f} ms "
-                f"xla {t_fwd_x * 1e3:6.2f} ms ({t_fwd_x / t_fwd_p:4.2f}x) | "
-                f"fwd+bwd pallas {t_bwd_p * 1e3:6.2f} ms "
-                f"xla {t_bwd_x * 1e3:6.2f} ms ({t_bwd_x / t_bwd_p:4.2f}x)"
-            )
+            print(f"{tag}: fwd+bwd pallas {t * 1e3:6.2f} ms", flush=True)
+            if args.xla:
+                t = device_timeit(
+                    bwd_of(cost_volume), f0, iters=args.iters
+                )
+                print(f"{tag}: fwd+bwd xla    {t * 1e3:6.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Per-op device-time profile of the training step (docs/DESIGN.md).
+
+Groups the xplane op timeline into buckets (convs, Pallas kernels,
+layout copies, ...) to track where the step time goes — the tool behind
+the round-2/round-3 train profiles. Run on real TPU:
+
+    python scripts/profile_train.py [--top 30]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+
+def bucket(name: str) -> str:
+    n = name.lower()
+    if "custom-call" in n or "tpu_custom_call" in n:
+        return "pallas kernels"
+    if "convolution" in n or "conv" in n:
+        return "convs"
+    if "copy" in n or "transpose" in n or "bitcast" in n:
+        return "layout copies"
+    if "fusion" in n:
+        return "fusions (elementwise/reduce)"
+    if "all-reduce" in n or "all-gather" in n or "collective" in n:
+        return "collectives"
+    return "other"
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--top", type=int, default=30)
+    parser.add_argument("--height", type=int, default=384)
+    parser.add_argument("--width", type=int, default=448)
+    parser.add_argument("--batch", type=int, default=4)
+    args = parser.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pwcnet_tpu.models import PWCDCNet
+    from pwcnet_tpu.ops.pallas import cost_volume_pallas, warped_cost_volume
+    from pwcnet_tpu.train_lib import create_train_state, make_train_step
+    from pwcnet_tpu.utils.profiling import op_profile
+
+    model = PWCDCNet(
+        dtype=jnp.bfloat16,
+        cost_volume_fn=cost_volume_pallas,
+        warp_cv_fn=warped_cost_volume,
+        fused_pyramid_levels=2,
+    )
+    rng = np.random.default_rng(0)
+    b, h, w = args.batch, args.height, args.width
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, 64, 64, 3), learning_rate=1e-4
+    )
+    step = make_train_step(model, donate=False)
+    images = jnp.asarray(rng.random((b, 2, h, w, 3)).astype(np.float32))
+    flows = jnp.asarray(rng.standard_normal((b, h, w, 2)).astype(np.float32))
+
+    rows = op_profile(lambda s: step(s, images, flows), state, iters=3)
+    total = sum(r["ms_per_iter"] for r in rows)
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(bucket(r["name"]), [0.0, 0])
+        groups[bucket(r["name"])][0] += r["ms_per_iter"]
+        groups[bucket(r["name"])][1] += r["count"]
+    print(f"train step {h}x{w} b{b} bf16 — sync op total {total:.2f} ms")
+    for k, (ms, cnt) in sorted(groups.items(), key=lambda kv: -kv[1][0]):
+        print(f"  {k:<28} {ms:7.2f} ms  ({cnt} events)")
+    print(f"\ntop {args.top} ops:")
+    for r in rows[: args.top]:
+        print(f"  {r['ms_per_iter']:7.3f} ms  x{r['count']:<4} {r['name'][:90]}")
+
+
+if __name__ == "__main__":
+    main()

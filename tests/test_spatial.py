@@ -143,6 +143,32 @@ class TestSpatialWarpedCV:
                 err_msg=name,
             )
 
+    def test_bf16_inputs(self, rng):
+        """Model-dtype (bf16) activations: the wrapper must cast flow to
+        f32 BEFORE folding in the global row offset (offset + flow in
+        bf16 would destroy the fractional part)."""
+        mesh = make_mesh(data=2, spatial=4)
+        wcv_fn = make_spatial_warped_cv(mesh, use_pallas=True, interpret=True)
+        d = 2
+        f0, f1, flow = self._inputs(rng, b=2, c=3, d=d)
+        f0, f1, flow = (
+            f0.astype(jnp.bfloat16),
+            f1.astype(jnp.bfloat16),
+            flow.astype(jnp.bfloat16),
+        )
+        want = np.asarray(
+            cost_volume(f0, bilinear_warp(f1, flow.astype(jnp.float32)), d),
+            np.float32,
+        )
+        got = np.asarray(
+            jax.jit(lambda a, b_, fl: wcv_fn(a, b_, fl, d))(
+                _shard(f0, mesh, 1), _shard(f1, mesh, 1),
+                _shard(flow, mesh, 1),
+            ),
+            np.float32,
+        )
+        np.testing.assert_allclose(got, want, rtol=0.1, atol=0.1)
+
     def test_indivisible_height_falls_back(self, rng):
         """Levels whose H does not divide the spatial axis (e.g. 7 rows
         at 1/64 of 448) take the GSPMD-partitionable XLA path."""
