@@ -67,6 +67,11 @@ def _build_model(args, dtype):
             if jax.devices()[0].platform != "cpu"
             else 0
         ),
+        fused_estimator_levels=(
+            args.fused_estimator
+            if jax.devices()[0].platform != "cpu"
+            else 0
+        ),
     )
     return model, warp_cv_fn is not None, cv_fn is not None
 
@@ -166,6 +171,11 @@ def main():
                         help="Compute the N finest pyramid levels with "
                         "the fused Pallas conv kernels (fwd + the "
                         "gz-chain backward)")
+    parser.add_argument("--fused-estimator", type=int, default=0,
+                        help="Compute the N finest estimator levels with "
+                        "the fused Pallas 6-conv chain kernel [0: off — "
+                        "measured slower than XLA at the bench shapes: "
+                        "train 243->219, infer 437->411 pairs/s]")
     parser.add_argument("--train", action="store_true",
                         help="Benchmark ONLY the training step "
                         "(fwd+bwd+Adam at 384x448)")

@@ -54,6 +54,7 @@ class FlowPredictor:
         use_pallas: str | bool = "auto",
         use_fused: str | bool = "auto",
         fused_pyramid: str | int = "auto",
+        fused_estimator: str | int = "auto",
         size_handling: str = "crop",
     ):
         """``size_handling``: how non-multiple-of-2**num_levels frames are
@@ -82,6 +83,12 @@ class FlowPredictor:
             # the fused Pallas conv kernel wins on the two finest
             # (small-C) levels; it falls back internally for odd sizes
             fused_pyramid = 2 if use_pallas else 0
+        if fused_estimator == "auto":
+            # fused 6-conv estimator chain: opt-in only. Measured SLOWER
+            # than the XLA convs at the serving shapes (448x1024 b4 bf16:
+            # 437 -> 411 pairs/s) — the estimator's wide-C convs already
+            # fill the MXU; see docs/DESIGN.md round-3 negative result.
+            fused_estimator = 0
         self.model = PWCDCNet(
             num_levels=num_levels,
             search_range=search_range,
@@ -92,6 +99,7 @@ class FlowPredictor:
             cost_volume_fn=cv_fn,
             warp_cv_fn=warp_cv_fn,
             fused_pyramid_levels=int(fused_pyramid),
+            fused_estimator_levels=int(fused_estimator),
         )
         self.num_levels = num_levels
         self.crop_factor = 2**num_levels

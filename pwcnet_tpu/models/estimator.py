@@ -30,12 +30,19 @@ def _conv_name(idx: int) -> str:
 
 
 class FlowEstimator(nn.Module):
-    """Dense-connectable flow estimator (PWCDCNet variant)."""
+    """Dense-connectable flow estimator (PWCDCNet variant).
+
+    ``fused``: compute the whole 6-conv chain with the fused Pallas
+    kernel (`ops.pallas.estimator_conv`) instead of six XLA convs —
+    same math, same parameter tree; see docs/DESIGN.md. Ignored (XLA
+    path) when ``use_dc`` or an explicit ``precision`` is set, which the
+    kernel does not implement."""
 
     use_dc: bool = False
     filters: Sequence[int] = DEFAULT_EST_FILTERS
     dtype: Any = jnp.float32
     precision: Any = None
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -53,6 +60,31 @@ class FlowEstimator(nn.Module):
         for extra in (features_0, flows_up_prev, features_up_prev):
             if extra is not None:
                 features = jnp.concatenate([features, extra], axis=3)
+
+        if self.fused and not self.use_dc and self.precision is None:
+            from pwcnet_tpu.models.pyramid import _ConvParams
+            from pwcnet_tpu.ops.pallas.estimator_conv import (
+                estimator_chain_fused,
+            )
+
+            kbs = []
+            cin = features.shape[-1]
+            for i, f in enumerate((*self.filters, 2)):
+                kbs.extend(
+                    _ConvParams(
+                        features=f,
+                        in_features=cin,
+                        dtype=self.dtype,
+                        name=_conv_name(i),
+                    )()
+                )
+                cin = f
+            flows, features = estimator_chain_fused(
+                features.astype(self.dtype), *kbs
+            )
+            if flows_up_prev is not None:
+                flows = flows + flows_up_prev
+            return flows, features
 
         idx = 0
         for f in self.filters:

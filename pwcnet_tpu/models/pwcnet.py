@@ -73,6 +73,9 @@ class PWCDCNet(nn.Module):
     # compute the N finest pyramid levels with the fused Pallas kernel
     # (ops/pallas/pyramid_conv.py) — same math, same parameter tree
     fused_pyramid_levels: int = 0
+    # compute the N finest estimator levels with the fused Pallas chain
+    # kernel (ops/pallas/estimator_conv.py) — same math/param tree
+    fused_estimator_levels: int = 0
     # override for the fused level chain (e.g. the shard_map spatial
     # wrapper, parallel.make_spatial_pyramid_level)
     pyramid_level_fn: Any = None
@@ -113,6 +116,7 @@ class PWCDCNet(nn.Module):
                 use_dc=self.use_dc,
                 dtype=self.dtype,
                 precision=self.precision,
+                fused=l > self.output_level - self.fused_estimator_levels,
                 name=f"optflow_{l}",
             )
             for l in range(self.num_levels)

@@ -171,6 +171,17 @@ class Trainer:
             # under spatial sharding they run per shard via shard_map
             fused_pyramid_levels=2 if use_pallas else 0,
             pyramid_level_fn=pyramid_level_fn,
+            # fused estimator chain (opt-in, default OFF): measured 10%
+            # SLOWER than the XLA convs at 384x448 b4 bf16 (243 -> 219
+            # pairs/s) — the estimator's C>=96 convs already fill the MXU
+            # under XLA, so saving the correlation-side transposes does
+            # not pay for the kernel's row-loop; see docs/DESIGN.md
+            # "Round-3: fused estimator chain (negative result)"
+            fused_estimator_levels=(
+                getattr(args, "fused_estimator", 0)
+                if use_pallas and self.mesh.shape.get("spatial", 1) == 1
+                else 0
+            ),
         )
         h, w = self.image_size
         self.state = create_train_state(

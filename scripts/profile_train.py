@@ -17,19 +17,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 
+def _opcode(name: str) -> str:
+    """The HLO opcode — the bare ` <op>(` token after the result type.
+    Operand references inside the parens are %-prefixed (%copy-done.3,
+    %convolution.7), so a bare token cannot come from an operand; do NOT
+    substring-match the whole text (the round-2 profile's 'layout
+    copies' bucket was inflated ~2.7x by exactly that)."""
+    for op in (
+        "custom-call", "convolution", "copy-start", "copy-done", "copy",
+        "transpose", "bitcast", "fusion", "all-reduce", "all-gather",
+        "collective-permute", "reduce-scatter", "concatenate",
+        "dynamic-update-slice", "dynamic-slice", "slice", "pad",
+        "reshape", "broadcast", "reduce", "select", "add", "multiply",
+        "tuple", "get-tuple-element", "parameter", "iota", "convert",
+    ):
+        if f" {op}(" in name:
+            return op
+    return "?"
+
+
 def bucket(name: str) -> str:
-    n = name.lower()
-    if "custom-call" in n or "tpu_custom_call" in n:
+    op = _opcode(name)
+    if op == "custom-call":
         return "pallas kernels"
-    if "convolution" in n or "conv" in n:
-        return "convs"
-    if "copy" in n or "transpose" in n or "bitcast" in n:
+    if op in ("copy", "copy-start", "copy-done", "transpose", "bitcast"):
         return "layout copies"
-    if "fusion" in n:
-        return "fusions (elementwise/reduce)"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
+    if op in ("all-reduce", "all-gather", "collective-permute",
+              "reduce-scatter"):
         return "collectives"
-    return "other"
+    if op == "convolution" or (
+        op == "fusion" and "%convolution" in name
+    ):
+        return "convs (+fused elementwise)"
+    if op == "fusion":
+        return "fusions (elementwise/reduce/copy)"
+    return f"other ({op})" if op != "?" else "other"
 
 
 def main():
@@ -38,6 +60,11 @@ def main():
     parser.add_argument("--height", type=int, default=384)
     parser.add_argument("--width", type=int, default=448)
     parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument(
+        "--fused-estimator", type=int, default=0,
+        help="fused_estimator_levels (0 = XLA estimator chain — the "
+        "measured-faster default)",
+    )
     args = parser.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -57,6 +84,7 @@ def main():
         cost_volume_fn=cost_volume_pallas,
         warp_cv_fn=warped_cost_volume,
         fused_pyramid_levels=2,
+        fused_estimator_levels=args.fused_estimator,
     )
     rng = np.random.default_rng(0)
     b, h, w = args.batch, args.height, args.width

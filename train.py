@@ -131,6 +131,12 @@ def build_parser():
                         help="Disable the fused warp+cost-volume kernel "
                         "(on by default with --pallas and bilinear warp)")
     parser.set_defaults(fused=True)
+    parser.add_argument("--fused-estimator", dest="fused_estimator",
+                        type=int, default=0,
+                        help="Run the N finest estimator levels through "
+                        "the fused Pallas 6-conv chain kernel [0: off — "
+                        "measured slower than the XLA convs at the "
+                        "default train shape; see docs/DESIGN.md]")
     return parser
 
 
