@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Headline benchmark: PWCDCNet throughput on one chip.
 
-With no mode flag this measures BOTH the training step (fwd+bwd+Adam at
-384x448 b4) and the headline inference shape (448x1024 b4), printing one
-JSON line each — the LAST line is the headline inference metric (the
-driver parses the final line):
+With no mode flag this measures the training step (fwd+bwd+Adam at
+384x448 b4, the reference's default batch), inference at 448x1024 b4
+(cross-round comparability), and finally inference at the measured
+serving knee b8 (PARITY.md §6 batch-scaling study: b1 324 / b2 398 /
+b4 438 / b8 457 / b16 438 pairs/s — HBM working-set regression past
+b8), printing one JSON line each — the LAST line is the headline
+inference metric (the driver parses the final line):
 
     {"metric": "...", "value": N, "unit": "image_pairs_per_sec_per_chip",
      "vs_baseline": N}
@@ -156,7 +159,9 @@ def main():
                         help="Frame height [448 infer / 384 train]")
     parser.add_argument("--width", type=int, default=None,
                         help="Frame width [1024 infer / 448 train]")
-    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--batch", type=int, default=None,
+                        help="Batch size [4; the default full run adds "
+                        "a final b8 serving-knee inference line]")
     parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="bfloat16")
@@ -186,10 +191,17 @@ def main():
     # default: both (train first; the final line is the headline metric)
     do_train = args.train or not args.infer
     do_infer = args.infer or not args.train
+    user_batch = args.batch
     if do_train:
+        args.batch = user_batch or 4
         bench_train(args, args.height or 384, args.width or 448)
     if do_infer:
+        args.batch = user_batch or 4
         bench_infer(args, args.height or 448, args.width or 1024)
+        if user_batch is None:
+            # headline: the measured serving knee (PARITY §6 scaling)
+            args.batch = 8
+            bench_infer(args, args.height or 448, args.width or 1024)
 
 
 if __name__ == "__main__":

@@ -162,10 +162,10 @@ class FlowPredictor:
             params, jnp.asarray(images[None, 0]), jnp.asarray(images[None, 1])
         )
         pyramid_px = [
-            np.asarray(f[0]) * (20.0 / 2 ** (self.num_levels - l))
+            np.asarray(f[0], np.float32) * (20.0 / 2 ** (self.num_levels - l))
             for l, f in enumerate(pyramid)
         ]
-        flow_out = np.asarray(flow_final[0])
+        flow_out = np.asarray(flow_final[0], np.float32)
         if self.size_handling == "pad":
             flow_out = flow_out[:orig_h, :orig_w]
         return flow_out, pyramid_px, images

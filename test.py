@@ -44,6 +44,10 @@ def build_parser():
                         "behavior) or 'pad' (keep all pixels) [crop]")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (tpu/cpu) [auto]")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Model compute dtype — bfloat16 is the "
+                        "fast serving path on TPU [float32]")
     return parser
 
 
@@ -72,6 +76,7 @@ def main(argv=None):
         use_dc=args.use_dc,
         output_level=args.output_level,
         size_handling=args.size_handling,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     img0 = load_image(args.input_images[0])
     img1 = load_image(args.input_images[1])

@@ -45,6 +45,10 @@ def build_parser():
                         help="In-flight dispatched batches [2]")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX platform (tpu/cpu) [auto]")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Model compute dtype — bfloat16 is the "
+                        "fast serving path on TPU [float32]")
     return parser
 
 
@@ -78,6 +82,8 @@ def main(argv=None):
         # a sitecustomize may have pinned jax_platforms already
         jax.config.update("jax_platforms", args.platform)
 
+    import jax.numpy as jnp
+
     from pwcnet_tpu.inference import FlowPredictor, load_image
     from pwcnet_tpu.utils import vis_flow_pyramid
 
@@ -88,6 +94,7 @@ def main(argv=None):
         use_dc=args.use_dc,
         output_level=args.output_level,
         size_handling=args.size_handling,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     if args.time:
         # sequence-throughput mode: batched + pipelined streaming with

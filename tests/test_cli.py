@@ -86,6 +86,20 @@ class TestTestCLI:
         )
         assert "Inference time:" in capsys.readouterr().out
 
+    def test_bfloat16_serving_dtype(self, frames, tmp_path, monkeypatch):
+        # --dtype bfloat16 must run end-to-end and still emit f32 flow
+        monkeypatch.chdir(tmp_path)
+        test_cli.main(
+            ["--input_images", str(frames[0]), str(frames[1]),
+             "--dtype", "bfloat16", "--save_flow", "out.flo"] + TINY_MODEL
+        )
+        from pwcnet_tpu.utils import load_flow
+
+        flow = load_flow(tmp_path / "out.flo")
+        assert flow.shape == (32, 32, 2)
+        assert flow.dtype == np.float32
+        assert np.isfinite(flow).all()
+
 
 class TestContinuousCLI:
     def test_wildcard_sequence(self, frames, tmp_path, monkeypatch):
