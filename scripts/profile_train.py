@@ -57,15 +57,26 @@ def bucket(name: str) -> str:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--top", type=int, default=30)
-    parser.add_argument("--height", type=int, default=384)
-    parser.add_argument("--width", type=int, default=448)
-    parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--infer", action="store_true",
+                        help="profile the inference forward instead of "
+                        "the train step (defaults switch to 448x1024 b8)")
+    parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--width", type=int, default=None)
+    parser.add_argument("--batch", type=int, default=None)
     parser.add_argument(
         "--fused-estimator", type=int, default=0,
         help="fused_estimator_levels (0 = XLA estimator chain — the "
         "measured-faster default)",
     )
     args = parser.parse_args()
+    if args.infer:
+        args.height = args.height or 448
+        args.width = args.width or 1024
+        args.batch = args.batch or 8
+    else:
+        args.height = args.height or 384
+        args.width = args.width or 448
+        args.batch = args.batch or 4
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -95,14 +106,25 @@ def main():
     images = jnp.asarray(rng.random((b, 2, h, w, 3)).astype(np.float32))
     flows = jnp.asarray(rng.standard_normal((b, h, w, 2)).astype(np.float32))
 
-    rows = op_profile(lambda s: step(s, images, flows), state, iters=3)
+    if args.infer:
+        params = state.params
+
+        def infer(imgs):
+            return model.apply(
+                {"params": params}, imgs[:, 0], imgs[:, 1]
+            )[0]
+
+        rows = op_profile(infer, images, iters=3)
+    else:
+        rows = op_profile(lambda s: step(s, images, flows), state, iters=3)
     total = sum(r["ms_per_iter"] for r in rows)
     groups: dict = {}
     for r in rows:
         groups.setdefault(bucket(r["name"]), [0.0, 0])
         groups[bucket(r["name"])][0] += r["ms_per_iter"]
         groups[bucket(r["name"])][1] += r["count"]
-    print(f"train step {h}x{w} b{b} bf16 — sync op total {total:.2f} ms")
+    what = "inference fwd" if args.infer else "train step"
+    print(f"{what} {h}x{w} b{b} bf16 — sync op total {total:.2f} ms")
     for k, (ms, cnt) in sorted(groups.items(), key=lambda kv: -kv[1][0]):
         print(f"  {k:<28} {ms:7.2f} ms  ({cnt} events)")
     print(f"\ntop {args.top} ops:")
