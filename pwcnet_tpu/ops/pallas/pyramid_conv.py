@@ -312,6 +312,230 @@ def _plevel_forward(
     return out
 
 
+def _pick_tile_banded(shape, c, itemsize, requested=None):
+    """Row tile for the banded inference kernel; None -> row-loop kernel.
+
+    A ``requested`` tile is honored when it divides the output height and
+    fits the VMEM budget; otherwise auto-planning falls through (largest
+    dividing tile that fits)."""
+    b, h, w, cin = shape
+    hh, wh = h // 2, w // 2
+    sub = 16 if itemsize == 2 else 8
+    if c % sub:
+        # store-slot sublane offsets (dy * C) must be tile-aligned
+        return None
+    cin_p = _round_up(2 * cin, sub)
+    wl = _round_up(wh + 2, 128)
+
+    def fits(t):
+        xw = 3 * cin_p * (t + 4) * wl * itemsize
+        s1 = 3 * c * (t + 6) * wl * itemsize
+        s2 = 3 * c * (t + 4) * wl * itemsize
+        out_t = c * t * wl * itemsize
+        masks = (2 * t + 6) * wl * 4
+        # f32 dot output + roll copies + pre-cast row block per conv
+        temps = 6 * max(c, cin_p) * (t + 4) * wl * 4
+        return xw + s1 + s2 + out_t + masks + temps <= _VMEM_BUDGET
+
+    if requested and hh % requested == 0 and fits(requested):
+        return requested
+    for t in range(min(hh, 64), 0, -1):
+        if hh % t == 0 and fits(t):
+            return t
+    return None
+
+
+def _plevel_kernel_banded(
+    x_any,
+    k1_ref,
+    k2_ref,
+    k3_ref,
+    bias_ref,
+    m1_ref,
+    m2_ref,
+    out_ref,
+    xw_ref,
+    s1_ref,
+    s2_ref,
+    sem,
+    *,
+    th: int,
+    wl: int,
+    interpret: bool,
+):
+    """Banded (batched-rows) inference variant: one MXU matmul per conv
+    per (batch, H-tile) grid step instead of one per output *row*.
+
+    All rows live in the lane dimension: every stored row occupies one
+    WL-lane block of a 2D (channels, rows*WL) array, so a conv's whole
+    RHS patch is a static lane-slice and the per-row fori_loop (whose
+    ~200 ns/row dispatch overhead dominated the row-loop kernel's
+    profile) disappears. The dy taps are stacked along K by *write
+    amplification*: each conv's output block is stored three times at
+    lane offsets shifted by one row-block and sublane offsets dy*C, so
+    the next conv reads a ready-made (3C, rows*WL) stripe — same K=3C
+    MXU occupancy as the row-loop kernel, 3 dots per tile total.
+
+    x_any: (B, 3*CINP, (HH+5)*WL) HBM — W-space-to-depth input further
+        H-space-to-depth'd into 3 row-phase planes (plane s row p =
+        padded full-res row 2p+s), so the stride-2 conv1 contracts all
+        9 taps in ONE dot with K = 3*CINP. Each grid step DMAs its
+        (3*CINP, (TH+4)*WL) lane window.
+    m1/m2_ref: (1, rows*WL) f32 per-tile masks — row validity (vertical
+        SAME zero padding) times lane margins (data in lanes 1..wh),
+        applied by one multiply; built at trace time.
+    s1/s2_ref: (3C, rows*WL) model-dtype scratch, dy-block layout above.
+    out_ref: (1, C, TH*WL) tile of the (B, C, HH*WL) output (margins
+        stripped and transposed to NHWC on the XLA side).
+    """
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    r0 = ti * th
+    f32 = jnp.float32
+    c = out_ref.shape[1]
+    n1 = (th + 4) * wl
+    n2 = (th + 2) * wl
+    n3 = th * wl
+
+    dma = pltpu.make_async_copy(
+        x_any.at[pl.ds(bi, 1), :, pl.ds(r0 * wl, n1)], xw_ref, sem
+    )
+    dma.start()
+    dma.wait()
+
+    def lroll(v, s):
+        """out lane l <- v[l + s]; cross-block wrap lands only in
+        masked margin lanes."""
+        if s == 0:
+            return v
+        if interpret:
+            return jnp.roll(v, -s, axis=1)
+        return pltpu.roll(v, v.shape[1] - s, 1)
+
+    def rroll(v, s):
+        if s == 0:
+            return v
+        if interpret:
+            return jnp.roll(v, s, axis=1)
+        return pltpu.roll(v, s, 1)
+
+    # ---- conv1: all th+4 output rows in one dot (K = 3*CINP)
+    p = jax.lax.dot(k1_ref[...], xw_ref[0], preferred_element_type=f32)
+    y = p[:c] + lroll(p[c:], 1)
+    y = _leaky(y + bias_ref[0, :].astype(f32)[:, None]) * m1_ref[...]
+    y = y.astype(s1_ref.dtype)
+    for dy in range(3):
+        s1_ref[dy * c : (dy + 1) * c, (2 - dy) * wl : (2 - dy) * wl + n1] = y
+
+    # ---- conv2
+    p = jax.lax.dot(
+        k2_ref[...], s1_ref[:, 2 * wl : 2 * wl + n2],
+        preferred_element_type=f32,
+    )
+    z = rroll(p[:c], 1) + p[c : 2 * c] + lroll(p[2 * c :], 1)
+    y = _leaky(z + bias_ref[1, :].astype(f32)[:, None]) * m2_ref[...]
+    y = y.astype(s2_ref.dtype)
+    for dy in range(3):
+        s2_ref[dy * c : (dy + 1) * c, (2 - dy) * wl : (2 - dy) * wl + n2] = y
+
+    # ---- conv3 -> output tile (margin lanes carry roll garbage; the
+    # XLA side strips them)
+    p = jax.lax.dot(
+        k3_ref[...], s2_ref[:, 2 * wl : 2 * wl + n3],
+        preferred_element_type=f32,
+    )
+    z = rroll(p[:c], 1) + p[c : 2 * c] + lroll(p[2 * c :], 1)
+    y = _leaky(z + bias_ref[2, :].astype(f32)[:, None])
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _plevel_forward_banded(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
+    b, h, w, cin = x.shape
+    c = k1.shape[-1]
+    hh, wh = h // 2, w // 2
+    itemsize = jnp.dtype(x.dtype).itemsize
+    sub = 16 if itemsize == 2 else 8
+    cin_p = _round_up(2 * cin, sub)
+    wl = _round_up(wh + 2, 128)
+    nt = hh // th
+
+    # W-s2d, channel-major, then H-s2d into 3 row-phase planes so conv1
+    # output row g (reading padded full-res rows 2g+4..2g+6, top pad 4)
+    # is plane s index p = g+2: plane_s[p] = padded row 2p+s.
+    xs = x.reshape(b, h, wh, 2 * cin)
+    xs = jnp.transpose(xs, (0, 3, 1, 2))  # (B, 2Cin, H, WH)
+    xs = jnp.pad(
+        xs, ((0, 0), (0, cin_p - 2 * cin), (4, 8), (1, wl - wh - 1))
+    )
+    npl = hh + 5
+    planes = [xs[:, :, s : s + 2 * npl : 2, :] for s in range(3)]
+    x3 = jnp.concatenate(planes, axis=1)  # (B, 3*CINP, HH+5, WL)
+    x3 = x3.reshape(b, 3 * cin_p, npl * wl)
+
+    k1m = _split_kernel(_remap_k1(k1), cin_p)  # (2C, 3*CINP)
+    k2m = _split_kernel(k2, c)  # (3C, 3C)
+    k3m = _split_kernel(k3, c)
+    bias = jnp.stack([b1, b2, b3]).astype(jnp.float32)  # (3, C)
+
+    def tile_mask(n_rows, off):
+        rows = (
+            jnp.arange(nt)[:, None] * th + jnp.arange(n_rows)[None, :] - off
+        )
+        rv = ((rows >= 0) & (rows < hh)).astype(jnp.float32)
+        lane = jnp.arange(wl)
+        lv = ((lane >= 1) & (lane <= wh)).astype(jnp.float32)
+        return (rv[:, :, None] * lv[None, None, :]).reshape(
+            nt, n_rows * wl
+        )
+
+    m1 = tile_mask(th + 4, 2)
+    m2 = tile_mask(th + 2, 1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _plevel_kernel_banded, th=th, wl=wl, interpret=interpret
+        ),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                k1m.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                k2m.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                k3m.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                bias.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, (th + 4) * wl), lambda bi, i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, (th + 2) * wl), lambda bi, i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, th * wl), lambda bi, i: (bi, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, hh * wl), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, 3 * cin_p, (th + 4) * wl), x.dtype),
+            pltpu.VMEM((3 * c, (th + 6) * wl), x.dtype),
+            pltpu.VMEM((3 * c, (th + 4) * wl), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x3, k1m, k2m, k3m, bias, m1, m2)
+    out = out.reshape(b, c, hh, wl)[:, :, :, 1 : wh + 1]
+    return jnp.transpose(out, (0, 2, 3, 1))  # NHWC
+
+
 def _xla_level(x, k1, b1, k2, b2, k3, b3):
     """Reference XLA formulation (used by the backward and as fallback)."""
     dn = ("NHWC", "HWIO", "NHWC")
@@ -367,12 +591,15 @@ def pyramid_level_fused(
         # No Mosaic on CPU — run the kernel in interpreter mode so tests
         # exercise the same code path the TPU compiles.
         interpret = True
-    th = tile_h or _pick_tile(
-        h, w, cin, k1.shape[-1], jnp.dtype(x.dtype).itemsize
-    )
+    itemsize = jnp.dtype(x.dtype).itemsize
+    th = tile_h or _pick_tile(h, w, cin, k1.shape[-1], itemsize)
     if th is None:
         return _xla_level(x, k1, b1, k2, b2, k3, b3)
-    return _plevel_vjp(x, k1, b1, k2, b2, k3, b3, th, interpret)
+    # The banded kernel serves the no-gradient (inference) path; training
+    # keeps the row-loop forward, which saves the activations the Pallas
+    # backward consumes.
+    tb = _pick_tile_banded(x.shape, k1.shape[-1], itemsize, requested=tile_h)
+    return _plevel_vjp(x, k1, b1, k2, b2, k3, b3, th, tb, interpret)
 
 
 def _plevel_bwd_kernel(
@@ -690,14 +917,18 @@ def _plevel_bwd_pallas(x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g,
     return dx, dk1, db1, dk2, db2, dk3, db3
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _plevel_vjp(x, k1, b1, k2, b2, k3, b3, tile_h, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _plevel_vjp(x, k1, b1, k2, b2, k3, b3, tile_h, tile_banded, interpret):
+    if tile_banded is not None:
+        return _plevel_forward_banded(
+            x, k1, b1, k2, b2, k3, b3, th=tile_banded, interpret=interpret
+        )
     return _plevel_forward(
         x, k1, b1, k2, b2, k3, b3, th=tile_h, interpret=interpret
     )
 
 
-def _plevel_fwd(x, k1, b1, k2, b2, k3, b3, tile_h, interpret):
+def _plevel_fwd(x, k1, b1, k2, b2, k3, b3, tile_h, tile_banded, interpret):
     out, s1x, s2x = _plevel_forward(
         x, k1, b1, k2, b2, k3, b3, th=tile_h, interpret=interpret,
         save_acts=True,
@@ -705,7 +936,7 @@ def _plevel_fwd(x, k1, b1, k2, b2, k3, b3, tile_h, interpret):
     return out, (x, k1, b1, k2, b2, k3, b3, out, s1x, s2x)
 
 
-def _plevel_bwd(tile_h, interpret, res, g):
+def _plevel_bwd(tile_h, tile_banded, interpret, res, g):
     x, k1, b1, k2, b2, k3, b3, out, s1x, s2x = res
     grads = _plevel_bwd_pallas(
         x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g, interpret

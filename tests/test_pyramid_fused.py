@@ -109,6 +109,63 @@ class TestPyramidLevelFused:
             )
 
 
+class TestPyramidLevelBanded:
+    """The banded (one-matmul-per-conv-per-tile) inference kernel."""
+
+    @pytest.mark.parametrize("th", [2, 4, 8])
+    def test_banded_matches_xla_multi_tile(self, rng, th):
+        from pwcnet_tpu.ops.pallas.pyramid_conv import _plevel_forward_banded
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 24, 3)).astype(np.float32))
+        params = _level_params(rng, 3, 16)
+        want = np.asarray(_xla_level(x, *params))
+        got = np.asarray(
+            _plevel_forward_banded(x, *params, th=th, interpret=True)
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_banded_bfloat16_matches_xla(self, rng):
+        from pwcnet_tpu.ops.pallas.pyramid_conv import _plevel_forward_banded
+
+        x = jnp.asarray(
+            rng.standard_normal((1, 16, 16, 3)).astype(np.float32),
+            dtype=jnp.bfloat16,
+        )
+        params = _level_params(rng, 3, 16, dtype=jnp.bfloat16)
+        want = np.asarray(_xla_level(x, *params), dtype=np.float32)
+        got = np.asarray(
+            _plevel_forward_banded(x, *params, th=4, interpret=True),
+            dtype=np.float32,
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+    def test_rowloop_primal_when_banded_unavailable(self, rng, monkeypatch):
+        """The dispatch's row-loop inference path stays exact when the
+        banded planner declines (odd channel counts, VMEM)."""
+        from pwcnet_tpu.ops.pallas import pyramid_conv as pcp
+
+        monkeypatch.setattr(pcp, "_pick_tile_banded", lambda *a, **k: None)
+        x = jnp.asarray(rng.standard_normal((1, 16, 24, 3)).astype(np.float32))
+        params = _level_params(rng, 3, 16)
+        want = np.asarray(_xla_level(x, *params))
+        got = np.asarray(pyramid_level_fused(x, *params, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_banded_planner_tile_rules(self):
+        from pwcnet_tpu.ops.pallas.pyramid_conv import _pick_tile_banded
+
+        shape = (1, 32, 32, 3)  # hh=16
+        auto = _pick_tile_banded(shape, 16, 4)
+        assert auto is not None and 16 % auto == 0
+        # a requested tile that divides is honored; one that does not
+        # falls through to auto-planning instead of corrupting the grid
+        assert _pick_tile_banded(shape, 16, 4, requested=8) == 8
+        assert _pick_tile_banded(shape, 16, 4, requested=5) == auto
+        # store-slot sublane alignment: odd C is banded-ineligible
+        assert _pick_tile_banded(shape, 12, 2) is None
+
+
 class TestModelFusedPyramid:
     def test_model_output_and_param_tree_unchanged(self, rng):
         """PWCDCNet(fused_pyramid_levels=2) == default model: identical
