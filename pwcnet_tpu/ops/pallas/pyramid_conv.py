@@ -345,6 +345,17 @@ def _pick_tile_banded(shape, c, itemsize, requested=None):
     return None
 
 
+def _band_mask(nt, th, n_rows, off, hh, wh, wl):
+    """(nt, n_rows*wl) f32 per-tile masks for banded-layout row bands:
+    row validity (band block i of tile t is half-res row t*th + i - off,
+    valid iff in [0, hh)) times lane margins (data in lanes 1..wh)."""
+    rows = jnp.arange(nt)[:, None] * th + jnp.arange(n_rows)[None, :] - off
+    rv = ((rows >= 0) & (rows < hh)).astype(jnp.float32)
+    lane = jnp.arange(wl)
+    lv = ((lane >= 1) & (lane <= wh)).astype(jnp.float32)
+    return (rv[:, :, None] * lv[None, None, :]).reshape(nt, n_rows * wl)
+
+
 def _plevel_kernel_banded(
     x_any,
     k1_ref,
@@ -354,6 +365,8 @@ def _plevel_kernel_banded(
     m1_ref,
     m2_ref,
     out_ref,
+    s1o_ref,
+    s2o_ref,
     xw_ref,
     s1_ref,
     s2_ref,
@@ -424,6 +437,10 @@ def _plevel_kernel_banded(
     y = p[:c] + lroll(p[c:], 1)
     y = _leaky(y + bias_ref[0, :].astype(f32)[:, None]) * m1_ref[...]
     y = y.astype(s1_ref.dtype)
+    if s1o_ref is not None:
+        # exact rows r0..r0+th-1 = band blocks 2..th+1: post-activation
+        # residual for the banded Pallas backward
+        s1o_ref[0] = y[:, 2 * wl : (2 + th) * wl]
     for dy in range(3):
         s1_ref[dy * c : (dy + 1) * c, (2 - dy) * wl : (2 - dy) * wl + n1] = y
 
@@ -435,6 +452,9 @@ def _plevel_kernel_banded(
     z = rroll(p[:c], 1) + p[c : 2 * c] + lroll(p[2 * c :], 1)
     y = _leaky(z + bias_ref[1, :].astype(f32)[:, None]) * m2_ref[...]
     y = y.astype(s2_ref.dtype)
+    if s2o_ref is not None:
+        # exact rows = band blocks 1..th
+        s2o_ref[0] = y[:, 1 * wl : (1 + th) * wl]
     for dy in range(3):
         s2_ref[dy * c : (dy + 1) * c, (2 - dy) * wl : (2 - dy) * wl + n2] = y
 
@@ -449,7 +469,19 @@ def _plevel_kernel_banded(
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _plevel_forward_banded(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
+def _plevel_kernel_banded_infer(
+    x_any, k1_ref, k2_ref, k3_ref, bias_ref, m1_ref, m2_ref, out_ref,
+    xw_ref, s1_ref, s2_ref, sem, **kw,
+):
+    _plevel_kernel_banded(
+        x_any, k1_ref, k2_ref, k3_ref, bias_ref, m1_ref, m2_ref, out_ref,
+        None, None, xw_ref, s1_ref, s2_ref, sem, **kw,
+    )
+
+
+def _plevel_forward_banded(
+    x, k1, b1, k2, b2, k3, b3, *, th, interpret, save_acts=False
+):
     b, h, w, cin = x.shape
     c = k1.shape[-1]
     hh, wh = h // 2, w // 2
@@ -477,24 +509,22 @@ def _plevel_forward_banded(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
     k3m = _split_kernel(k3, c)
     bias = jnp.stack([b1, b2, b3]).astype(jnp.float32)  # (3, C)
 
-    def tile_mask(n_rows, off):
-        rows = (
-            jnp.arange(nt)[:, None] * th + jnp.arange(n_rows)[None, :] - off
-        )
-        rv = ((rows >= 0) & (rows < hh)).astype(jnp.float32)
-        lane = jnp.arange(wl)
-        lv = ((lane >= 1) & (lane <= wh)).astype(jnp.float32)
-        return (rv[:, :, None] * lv[None, None, :]).reshape(
-            nt, n_rows * wl
-        )
+    m1 = _band_mask(nt, th, th + 4, 2, hh, wh, wl)
+    m2 = _band_mask(nt, th, th + 2, 1, hh, wh, wl)
 
-    m1 = tile_mask(th + 4, 2)
-    m2 = tile_mask(th + 2, 1)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _plevel_kernel_banded, th=th, wl=wl, interpret=interpret
-        ),
+    kern = _plevel_kernel_banded if save_acts else _plevel_kernel_banded_infer
+    out_specs = [
+        pl.BlockSpec(
+            (1, c, th * wl), lambda bi, i: (bi, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+    ] * (3 if save_acts else 1)
+    out_shape = [
+        jax.ShapeDtypeStruct((b, c, hh * wl), x.dtype)
+        for _ in range(3 if save_acts else 1)
+    ]
+    res = pl.pallas_call(
+        functools.partial(kern, th=th, wl=wl, interpret=interpret),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -519,11 +549,8 @@ def _plevel_forward_banded(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, c, th * wl), lambda bi, i: (bi, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, c, hh * wl), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((1, 3 * cin_p, (th + 4) * wl), x.dtype),
             pltpu.VMEM((3 * c, (th + 6) * wl), x.dtype),
@@ -532,8 +559,286 @@ def _plevel_forward_banded(x, k1, b1, k2, b2, k3, b3, *, th, interpret):
         ],
         interpret=interpret,
     )(x3, k1m, k2m, k3m, bias, m1, m2)
-    out = out.reshape(b, c, hh, wl)[:, :, :, 1 : wh + 1]
-    return jnp.transpose(out, (0, 2, 3, 1))  # NHWC
+    out = res[0].reshape(b, c, hh, wl)[:, :, :, 1 : wh + 1]
+    out = jnp.transpose(out, (0, 2, 3, 1))  # NHWC
+    if save_acts:
+        return out, res[1], res[2]  # s1/s2 residuals, banded (B, C, HH*WL)
+    return out
+
+
+def _pick_tile_bwd_banded(shape, c, itemsize):
+    """Row tile for the banded backward; None -> row-loop fallback."""
+    b, h, w, cin = shape
+    hh, wh = h // 2, w // 2
+    sub = 16 if itemsize == 2 else 8
+    if c % sub:
+        return None
+    cin_p = _round_up(2 * cin, sub)
+    wl = _round_up(wh + 2, 128)
+
+    def fits(t):
+        n = (t + 4) * wl
+        windows = 4 * c * n * itemsize          # g/out/s1/s2 windows
+        chain = 2 * 3 * c * n * 4               # dp + v f32 (widest stage)
+        bands = 4 * c * n * 4                   # gz3/ds2/gz2/ds1 f32
+        outs = 3 * c * t * wl * itemsize + 3 * cin_p * t * wl * 4
+        dxv = 2 * max(3 * cin_p, 2 * c) * t * wl * 4
+        return windows + chain + bands + outs + dxv + n * 4 <= _VMEM_BUDGET
+
+    for t in range(min(hh, 64), 0, -1):
+        if hh % t == 0 and fits(t):
+            return t
+    return None
+
+
+def _plevel_bwd_kernel_banded(
+    g_any,
+    out_any,
+    s1_any,
+    s2_any,
+    k1t_ref,
+    k2t_ref,
+    k3t_ref,
+    mb_ref,
+    gz1_ref,
+    gz2_ref,
+    gz3_ref,
+    dxp_ref,
+    gw_ref,
+    ow_ref,
+    s1w_ref,
+    s2w_ref,
+    sems,
+    *,
+    th: int,
+    wl: int,
+    interpret: bool,
+):
+    """Banded gz chain: the whole (batch, H-tile) backward in 3 dots.
+
+    The row-loop backward (`_plevel_bwd_kernel`) unrolls 3*(TH+4) small
+    dots plus per-row scatter-adds; here the band layout of the banded
+    forward makes each chain stage one matmul over all rows at once, with
+    the cross-row scatter-adds becoming whole-block lane rolls
+    (ds[u] = sum_dy v_dy[u+1-dy]; roll wrap lands only in the band's
+    first/last halo blocks, which nothing downstream reads).
+
+    g/out/s1/s2_any: (B, C, (HH+4)*WL) HBM banded frames, 2 zero blocks
+        of padding each side; s1/s2 are the banded forward's saved
+        post-activation residuals (exact zeros in margins and invalid
+        rows, so LeakyReLU sign masks and roll wraps stay clean).
+    mb_ref: (1, (TH+4)*WL) row-validity x lane-margin mask (off=2), the
+        banded analogue of the row backward's `valid` gating: conv2's
+        vertical-SAME zero rows must not leak gradient.
+    dxp_ref: (1, 3*CINP, TH*WL) dx in the forward's 3-row-phase-plane
+        H-space-to-depth layout, plane block p' = plane index p-2. Each
+        x3 plane entry feeds exactly ONE conv1 output row, so per-tile
+        dx windows are disjoint — no overlap-add (the row backward
+        needs one); the XLA side re-interleaves even/odd full-res rows.
+    """
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    r0 = ti * th
+    f32 = jnp.float32
+    c = gz1_ref.shape[1]
+    n = (th + 4) * wl
+
+    copies = [
+        pltpu.make_async_copy(
+            src.at[pl.ds(bi, 1), :, pl.ds(r0 * wl, n)], dst, sems.at[k]
+        )
+        for k, (src, dst) in enumerate(
+            [
+                (g_any, gw_ref),
+                (out_any, ow_ref),
+                (s1_any, s1w_ref),
+                (s2_any, s2w_ref),
+            ]
+        )
+    ]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
+    def lroll(v, s):
+        if s == 0:
+            return v
+        if interpret:
+            return jnp.roll(v, -s, axis=1)
+        return pltpu.roll(v, v.shape[1] - s, 1)
+
+    def rroll(v, s):
+        if s == 0:
+            return v
+        if interpret:
+            return jnp.roll(v, s, axis=1)
+        return pltpu.roll(v, s, 1)
+
+    def leaky_mask(v):
+        return jnp.where(v >= 0, jnp.asarray(1.0, f32), jnp.asarray(0.1, f32))
+
+    def chain_stage(gz, kt_ref):
+        # dP_d = unroll_d(gz) (forward applied roll_d to partial d);
+        # ds[u] = sum_dy v_dy[u+1-dy] — whole-block rolls
+        dp = jnp.concatenate([lroll(gz, 1), gz, rroll(gz, 1)], axis=0)
+        v = jax.lax.dot(kt_ref[...], dp, preferred_element_type=f32)
+        cc = v.shape[0] // 3
+        return lroll(v[:cc], wl) + v[cc : 2 * cc] + rroll(v[2 * cc :], wl)
+
+    # ---- conv3 backward
+    gz3 = gw_ref[0].astype(f32) * leaky_mask(ow_ref[0].astype(f32))
+    gz3_ref[0] = gz3[:, 2 * wl : (2 + th) * wl].astype(gz3_ref.dtype)
+    ds2 = chain_stage(gz3, k3t_ref)
+
+    # ---- conv2 backward (mask: vertical-SAME rows carry no gradient)
+    gz2 = ds2 * leaky_mask(s2w_ref[0].astype(f32)) * mb_ref[...]
+    gz2_ref[0] = gz2[:, 2 * wl : (2 + th) * wl].astype(gz2_ref.dtype)
+    ds1 = chain_stage(gz2, k2t_ref)
+
+    # ---- conv1 backward on exact rows; dx in 3-plane s2d layout.
+    # ds1's margin lanes hold gradients of the forward's zero margins
+    # (lroll wrap in chain_stage) — mask them (exact-band slice of mb)
+    # or rroll(gz1, 1) leaks them into lane 1's K1 tap (= full col 0).
+    gz1 = (ds1 * leaky_mask(s1w_ref[0].astype(f32)))[
+        :, 2 * wl : (2 + th) * wl
+    ] * mb_ref[:, 2 * wl : (2 + th) * wl]
+    gz1_ref[0] = gz1.astype(gz1_ref.dtype)
+    dp = jnp.concatenate([gz1, rroll(gz1, 1)], axis=0)
+    v = jax.lax.dot(k1t_ref[...], dp, preferred_element_type=f32)
+    dxp_ref[0] = v.astype(dxp_ref.dtype)
+
+
+def _dkdb_xla(x, s1n, s2n, k1, k2, k3, b1, b2, b3, gz1n, gz2n, gz3n):
+    """dk/db via XLA vjp of the plain convolutions on saved activations
+    (the lane-contraction correlations XLA is good at)."""
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def dk_of(inp, kern, stride, gz):
+        _, vjp = jax.vjp(
+            lambda kk: lax.conv_general_dilated(
+                inp, kk, (stride, stride), "SAME", dimension_numbers=dn
+            ),
+            kern,
+        )
+        return vjp(gz)[0]
+
+    dk1 = dk_of(x, k1, 2, gz1n)
+    dk2 = dk_of(s1n, k2, 1, gz2n)
+    dk3 = dk_of(s2n, k3, 1, gz3n)
+    db1 = jnp.sum(gz1n.astype(jnp.float32), axis=(0, 1, 2)).astype(b1.dtype)
+    db2 = jnp.sum(gz2n.astype(jnp.float32), axis=(0, 1, 2)).astype(b2.dtype)
+    db3 = jnp.sum(gz3n.astype(jnp.float32), axis=(0, 1, 2)).astype(b3.dtype)
+    return dk1, db1, dk2, db2, dk3, db3
+
+
+def _plevel_bwd_banded(
+    x, k1, b1, k2, b2, k3, b3, out, s1b, s2b, g, th, interpret
+):
+    """(dx, dk1, db1, ..., db3) via the banded gz-chain kernel."""
+    b, h, w, cin = x.shape
+    c = k1.shape[-1]
+    hh, wh = h // 2, w // 2
+    itemsize = jnp.dtype(x.dtype).itemsize
+    sub = 16 if itemsize == 2 else 8
+    cin_p = _round_up(2 * cin, sub)
+    wl = _round_up(wh + 2, 128)
+    nt = hh // th
+
+    def to_banded(arr_nhwc):
+        t = jnp.transpose(arr_nhwc, (0, 3, 1, 2))  # (B, C, HH, WH)
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, 0), (1, wl - wh - 1)))
+        return t.reshape(b, c, hh * wl)
+
+    def pad_blocks(band):
+        return jnp.pad(band, ((0, 0), (0, 0), (2 * wl, 2 * wl)))
+
+    gb = pad_blocks(to_banded(g))
+    ob = pad_blocks(to_banded(out))
+    s1f = pad_blocks(s1b)
+    s2f = pad_blocks(s2b)
+
+    k1t = jnp.transpose(_split_kernel(_remap_k1(k1), cin_p))  # (3CINP, 2C)
+    k2t = jnp.transpose(_split_kernel(k2, c))  # (3C, 3C)
+    k3t = jnp.transpose(_split_kernel(k3, c))
+    mb = _band_mask(nt, th, th + 4, 2, hh, wh, wl)
+
+    gz1, gz2, gz3, dxp = pl.pallas_call(
+        functools.partial(
+            _plevel_bwd_kernel_banded, th=th, wl=wl, interpret=interpret
+        ),
+        grid=(b, nt),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [
+            pl.BlockSpec(
+                k1t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                k2t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                k3t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, (th + 4) * wl), lambda bi, i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, c, th * wl), lambda bi, i: (bi, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 3
+        + [
+            pl.BlockSpec(
+                (1, 3 * cin_p, th * wl), lambda bi, i: (bi, 0, i),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, hh * wl), x.dtype) for _ in range(3)
+        ]
+        + [jax.ShapeDtypeStruct((b, 3 * cin_p, hh * wl), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, c, (th + 4) * wl), x.dtype)] * 4
+        + [pltpu.SemaphoreType.DMA((4,))],
+        interpret=interpret,
+    )(gb, ob, s1f, s2f, k1t, k2t, k3t, mb)
+
+    # ---- dx: un-H-s2d the 3 row-phase planes (plane p = block + 2;
+    # padded full-res row 2p from plane0[p] + plane2[p-1], row 2p+1 from
+    # plane1[p]) — interleave even/odd rows, then strip pads and undo
+    # the W-space-to-depth
+    npl = hh + 5
+    planes = dxp.reshape(b, 3, cin_p, hh, wl)
+    planes = jnp.pad(
+        planes, ((0, 0), (0, 0), (0, 0), (2, npl - hh - 2), (0, 0))
+    )
+    p2s = jnp.pad(
+        planes[:, 2], ((0, 0), (0, 0), (1, 0), (0, 0))
+    )[:, :, :npl]
+    even = planes[:, 0] + p2s
+    rows = jnp.stack([even, planes[:, 1]], axis=3).reshape(
+        b, cin_p, 2 * npl, wl
+    )
+    dxs2d = rows[:, : 2 * cin, 4 : 4 + h, 1 : wh + 1]  # (B, 2Cin, H, WH)
+    dx = (
+        jnp.transpose(dxs2d, (0, 2, 3, 1))
+        .reshape(b, h, w, cin)
+        .astype(x.dtype)
+    )
+
+    def from_banded(band):
+        t = band.reshape(b, c, hh, wl)[:, :, :, 1 : wh + 1]
+        return jnp.transpose(t, (0, 2, 3, 1))
+
+    gz1n, gz2n, gz3n = from_banded(gz1), from_banded(gz2), from_banded(gz3)
+    s1n, s2n = from_banded(s1b), from_banded(s2b)
+    dk1, db1, dk2, db2, dk3, db3 = _dkdb_xla(
+        x, s1n, s2n, k1, k2, k3, b1, b2, b3, gz1n, gz2n, gz3n
+    )
+    return dx, dk1, db1, dk2, db2, dk3, db3
 
 
 def _xla_level(x, k1, b1, k2, b2, k3, b3):
@@ -894,26 +1199,11 @@ def _plevel_bwd_pallas(x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g,
     dx = jnp.transpose(dxs2d, (0, 1, 3, 2)).reshape(b, h, w, cin)
     dx = dx.astype(x.dtype)
 
-    # ---- dk/db: XLA vjp of the plain convolutions on saved activations
-    dn = ("NHWC", "HWIO", "NHWC")
     s1n = to_nhwc(s1m[:, 2:-2])
     s2n = to_nhwc(s2m[:, 2:-2])
-
-    def dk_of(inp, kern, stride, gz):
-        _, vjp = jax.vjp(
-            lambda kk: lax.conv_general_dilated(
-                inp, kk, (stride, stride), "SAME", dimension_numbers=dn
-            ),
-            kern,
-        )
-        return vjp(gz)[0]
-
-    dk1 = dk_of(x, k1, 2, gz1n)
-    dk2 = dk_of(s1n, k2, 1, gz2n)
-    dk3 = dk_of(s2n, k3, 1, gz3n)
-    db1 = jnp.sum(gz1n.astype(jnp.float32), axis=(0, 1, 2)).astype(b1.dtype)
-    db2 = jnp.sum(gz2n.astype(jnp.float32), axis=(0, 1, 2)).astype(b2.dtype)
-    db3 = jnp.sum(gz3n.astype(jnp.float32), axis=(0, 1, 2)).astype(b3.dtype)
+    dk1, db1, dk2, db2, dk3, db3 = _dkdb_xla(
+        x, s1n, s2n, k1, k2, k3, b1, b2, b3, gz1n, gz2n, gz3n
+    )
     return dx, dk1, db1, dk2, db2, dk3, db3
 
 
@@ -929,6 +1219,18 @@ def _plevel_vjp(x, k1, b1, k2, b2, k3, b3, tile_h, tile_banded, interpret):
 
 
 def _plevel_fwd(x, k1, b1, k2, b2, k3, b3, tile_h, tile_banded, interpret):
+    if tile_banded is not None:
+        tbb = _pick_tile_bwd_banded(
+            x.shape, k1.shape[-1], jnp.dtype(x.dtype).itemsize
+        )
+        if tbb is not None:
+            out, s1b, s2b = _plevel_forward_banded(
+                x, k1, b1, k2, b2, k3, b3, th=tile_banded,
+                interpret=interpret, save_acts=True,
+            )
+            # banded residuals are 3-D (B, C, HH*WL); the row-loop path's
+            # are 4-D margin-layout — _plevel_bwd dispatches on ndim
+            return out, (x, k1, b1, k2, b2, k3, b3, out, s1b, s2b)
     out, s1x, s2x = _plevel_forward(
         x, k1, b1, k2, b2, k3, b3, th=tile_h, interpret=interpret,
         save_acts=True,
@@ -938,6 +1240,13 @@ def _plevel_fwd(x, k1, b1, k2, b2, k3, b3, tile_h, tile_banded, interpret):
 
 def _plevel_bwd(tile_h, tile_banded, interpret, res, g):
     x, k1, b1, k2, b2, k3, b3, out, s1x, s2x = res
+    if s1x.ndim == 3:
+        tbb = _pick_tile_bwd_banded(
+            x.shape, k1.shape[-1], jnp.dtype(x.dtype).itemsize
+        )
+        return _plevel_bwd_banded(
+            x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g, tbb, interpret
+        )
     grads = _plevel_bwd_pallas(
         x, k1, b1, k2, b2, k3, b3, out, s1x, s2x, g, interpret
     )
