@@ -85,21 +85,44 @@ def main():
 
         t = device_timeit(lambda a: pcp._xla_level(a, *p), x,
                           iters=args.iters)
-        print(f"  xla      {t * 1e3:6.3f} ms", flush=True)
+        print(f"  xla      fwd {t * 1e3:6.3f} ms", flush=True)
         if th is not None:
             t = device_timeit(
                 lambda a: pcp._plevel_forward(
                     a, *p, th=th, interpret=False
                 ), x, iters=args.iters,
             )
-            print(f"  row-loop {t * 1e3:6.3f} ms", flush=True)
+            print(f"  row-loop fwd {t * 1e3:6.3f} ms", flush=True)
         if tb is not None:
             t = device_timeit(
                 lambda a: pcp._plevel_forward_banded(
                     a, *p, th=tb, interpret=False
                 ), x, iters=args.iters,
             )
-            print(f"  banded   {t * 1e3:6.3f} ms", flush=True)
+            print(f"  banded   fwd {t * 1e3:6.3f} ms", flush=True)
+
+        # fwd+bwd A/B through the real dispatch (monkeypatched planners)
+        tbb = pcp._pick_tile_bwd_banded(shape, c, itemsize)
+        print(f"  bwd tiles: banded={tbb}", flush=True)
+
+        def grad_fn(a):
+            def loss(a, *pp):
+                return jnp.sum(
+                    pcp.pyramid_level_fused(a, *pp) ** 2
+                ).astype(jnp.float32)
+
+            return jax.grad(loss, argnums=tuple(range(7)))(a, *p)
+
+        orig_banded = pcp._pick_tile_banded
+        try:
+            pcp._pick_tile_banded = lambda *a, **k: None  # row-loop path
+            t = device_timeit(grad_fn, x, iters=args.iters)
+            print(f"  row-loop f+b {t * 1e3:6.3f} ms", flush=True)
+        finally:
+            pcp._pick_tile_banded = orig_banded
+        if tb is not None and tbb is not None:
+            t = device_timeit(grad_fn, x, iters=args.iters)
+            print(f"  banded   f+b {t * 1e3:6.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
