@@ -195,6 +195,32 @@ class TestModelFusedPyramid:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
             )
 
+    def test_model_grads_unchanged(self, rng):
+        """Parameter gradients through the fused (banded) pyramid VJP
+        match the plain-XLA model's — the integration-level check that
+        the kernel backward composes correctly inside the full network."""
+        from pwcnet_tpu.models import PWCDCNet
+
+        kw = dict(num_levels=3, output_level=1, search_range=2)
+        base = PWCDCNet(**kw)
+        fused = PWCDCNet(fused_pyramid_levels=2, **kw)
+        x0 = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        x1 = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        params = base.init(jax.random.PRNGKey(0), x0, x1)
+
+        def loss(model, p):
+            flows, _ = model.apply(p, x0, x1)
+            return sum(jnp.sum(f.astype(jnp.float32) ** 2) for f in flows)
+
+        gb = jax.grad(lambda p: loss(base, p))(params)
+        gf = jax.grad(lambda p: loss(fused, p))(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(gb)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
 
 class TestPyramidBwdBanded:
     """The banded backward (3-dot gz chain, plane-layout dx) vs XLA."""
