@@ -31,9 +31,20 @@ This kernel runs the whole level in one VMEM pass:
   DMAs only its (2*TH + 10)-row window — the windowed-kernel recipe from
   ops/pallas/cost_volume.py (lane/sublane padded for aligned copies).
 
-Backward (custom VJP) recomputes the level with the XLA convolutions and
-differentiates those — identical math, so training is exact while
-inference pays zero layout-copy cost.
+Two kernel families share this recipe:
+
+- the *row-loop* kernels (`_plevel_kernel` / `_plevel_bwd_kernel`): one
+  matmul per output row, windowed HBM streaming — work for any shape
+  that fits a tile in VMEM;
+- the *banded* kernels (`_plevel_kernel_banded` /
+  `_plevel_bwd_kernel_banded`): all tile rows batched into the lane
+  dimension, 3 matmuls per tile total — preferred when C is
+  sublane-aligned (the write-amplified stripe layout needs it).
+
+Backward is a custom VJP driven by saved post-activation residuals
+(banded or margin-lane layout; the gz chain runs in Pallas, dk/db via
+XLA vjp on the residuals); the XLA-recompute VJP remains the last-resort
+fallback.
 """
 
 from __future__ import annotations
@@ -313,7 +324,7 @@ def _plevel_forward(
 
 
 def _pick_tile_banded(shape, c, itemsize, requested=None):
-    """Row tile for the banded inference kernel; None -> row-loop kernel.
+    """Row tile for the banded forward kernel; None -> row-loop kernel.
 
     A ``requested`` tile is honored when it divides the output height and
     fits the VMEM budget; otherwise auto-planning falls through (largest
@@ -376,8 +387,8 @@ def _plevel_kernel_banded(
     wl: int,
     interpret: bool,
 ):
-    """Banded (batched-rows) inference variant: one MXU matmul per conv
-    per (batch, H-tile) grid step instead of one per output *row*.
+    """Banded (batched-rows) variant: one MXU matmul per conv per
+    (batch, H-tile) grid step instead of one per output *row*.
 
     All rows live in the lane dimension: every stored row occupies one
     WL-lane block of a 2D (channels, rows*WL) array, so a conv's whole
