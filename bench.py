@@ -61,10 +61,18 @@ def _build_model(args, dtype):
         cv_fn = cost_volume_pallas
         if args.fused:
             warp_cv_fn = warped_cost_volume
+    plevel_fn = None
+    if not args.banded:
+        import functools
+
+        from pwcnet_tpu.ops.pallas import pyramid_level_fused
+
+        plevel_fn = functools.partial(pyramid_level_fused, banded=False)
     model = PWCDCNet(
         dtype=dtype,
         cost_volume_fn=cv_fn,
         warp_cv_fn=warp_cv_fn,
+        pyramid_level_fn=plevel_fn,
         fused_pyramid_levels=(
             args.fused_pyramid
             if jax.devices()[0].platform != "cpu"
@@ -172,6 +180,10 @@ def main():
                         help="Disable the fused warp+cost-volume kernel "
                         "(fall back to XLA warp + Pallas cost volume)")
     parser.set_defaults(fused=True)
+    parser.add_argument("--banded", type=int, default=1, choices=[0, 1],
+                        help="1 (default): banded pyramid kernels when "
+                        "eligible; 0: pin the row-loop kernels "
+                        "(same-session A/B)")
     parser.add_argument("--fused-pyramid", type=int, default=2,
                         help="Compute the N finest pyramid levels with "
                         "the fused Pallas conv kernels (fwd + the "

@@ -891,15 +891,15 @@ def _pick_tile(h, w, cin, c, itemsize):
 
 def pyramid_level_fused(
     x, k1, b1, k2, b2, k3, b3, tile_h: int | None = None,
-    interpret: bool = False,
+    interpret: bool = False, banded: bool = True,
 ):
     """One fused pyramid level: conv(s2)+leaky, conv+leaky, conv+leaky.
 
     Drop-in for the XLA 3-conv chain (exact SAME-padding / LeakyReLU(0.1)
     semantics, f32 accumulation, model-dtype rounding between convs).
     Requires even H and W; falls back to the XLA formulation when no tile
-    fits VMEM. Backward recomputes via the XLA convolutions (identical
-    math)."""
+    fits VMEM. ``banded=False`` pins the row-loop kernels (A/B switch;
+    the banded variants dispatch whenever their planners accept)."""
     b, h, w, cin = x.shape
     if h % 2 or w % 2:
         return _xla_level(x, k1, b1, k2, b2, k3, b3)
@@ -911,10 +911,11 @@ def pyramid_level_fused(
     th = tile_h or _pick_tile(h, w, cin, k1.shape[-1], itemsize)
     if th is None:
         return _xla_level(x, k1, b1, k2, b2, k3, b3)
-    # The banded kernel serves the no-gradient (inference) path; training
-    # keeps the row-loop forward, which saves the activations the Pallas
-    # backward consumes.
-    tb = _pick_tile_banded(x.shape, k1.shape[-1], itemsize, requested=tile_h)
+    tb = (
+        _pick_tile_banded(x.shape, k1.shape[-1], itemsize, requested=tile_h)
+        if banded
+        else None
+    )
     return _plevel_vjp(x, k1, b1, k2, b2, k3, b3, th, tb, interpret)
 
 
