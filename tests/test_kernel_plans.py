@@ -86,6 +86,22 @@ class TestPyramidConvPlans:
         th = pcp._pick_tile(448, 1024, 3, 16, BF16)
         assert (448 // 2) % th == 0
 
+    def test_banded_plans_at_flagship_sizes(self):
+        """The banded kernels (3 dots per tile) must dispatch — not
+        silently fall back to the row-loop kernels — at every production
+        shape: serving 448x1024 and training 384x448, both fused levels,
+        bf16 and f32."""
+        for (b, h, w, cin, c) in (
+            (8, 448, 1024, 3, 16), (8, 224, 512, 16, 32),
+            (4, 384, 448, 3, 16), (4, 192, 224, 16, 32),
+        ):
+            for item in (BF16, F32):
+                shape = (b, h, w, cin)
+                tf = pcp._pick_tile_banded(shape, c, item)
+                tb = pcp._pick_tile_bwd_banded(shape, c, item)
+                assert tf is not None and (h // 2) % tf == 0, (shape, item)
+                assert tb is not None and (h // 2) % tb == 0, (shape, item)
+
 
 class TestPyramidBwdPlans:
     def test_backward_fits_at_all_training_shapes(self):
