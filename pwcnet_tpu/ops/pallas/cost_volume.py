@@ -418,15 +418,23 @@ def _cv_bwd_df1_kernel(gtp_ref, f0p_ref, out_ref, *, d: int):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sems, *, d: int):
+def _cv_bwd_df0_kernel_w(
+    gt_ref, f1p_any, out_ref, f1w_ref, sems, *, d: int, db: bool
+):
     """Windowed df0: frame 1 stays in HBM; each tile DMAs its halo'd
-    (TH + 2d)-row window into VMEM scratch, double-buffered across grid
-    steps (see `_cv_kernel_windowed`).
+    (TH + 2d)-row window into VMEM scratch.
 
-    gt_ref:  (1, TH, T, W)        VMEM tile
-    f1p_any: (1, H+2d, C, W+2d)   HBM (memory_space=ANY)
-    out_ref: (1, TH, C, W)        VMEM tile
-    f1w_ref: (2, TH+2d, C, W+2d)  VMEM scratch (two window slots)
+    ``db`` statically selects DMA double-buffering across grid steps (see
+    `_cv_kernel_windowed`). A traced slot index makes every stripe read
+    dynamic in the leading scratch dim, which measured *slower* than the
+    serial DMA at the sharded-L4 bf16 shape (PARITY §6: f+b 2.20->2.53
+    ms) while winning 2.1x at 1024^2 f32 — so the caller picks per dtype
+    and the db=False variant keeps slot 0 static.
+
+    gt_ref:  (1, TH, T, W)           VMEM tile
+    f1p_any: (1, H+2d, C, W+2d)      HBM (memory_space=ANY)
+    out_ref: (1, TH, C, W)           VMEM tile
+    f1w_ref: (nbuf, TH+2d, C, W+2d)  VMEM scratch (nbuf = 2 if db else 1)
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
@@ -437,7 +445,6 @@ def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sems, *, d: int):
     n = 2 * d + 1
 
     step = bi * nt + i
-    slot = jax.lax.rem(step, 2)
 
     def window_dma(slot_idx, bj, tj):
         return pltpu.make_async_copy(
@@ -446,17 +453,23 @@ def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sems, *, d: int):
             sems.at[slot_idx],
         )
 
-    @pl.when(step == 0)
-    def _warmup():
+    if db:
+        slot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _warmup():
+            window_dma(slot, bi, i).start()
+
+        nstep = step + 1
+
+        @pl.when(nstep < nb * nt)
+        def _prefetch():
+            window_dma(
+                jax.lax.rem(nstep, 2), nstep // nt, jax.lax.rem(nstep, nt)
+            ).start()
+    else:
+        slot = 0  # static: stripe reads below stay static-offset
         window_dma(slot, bi, i).start()
-
-    nstep = step + 1
-
-    @pl.when(nstep < nb * nt)
-    def _prefetch():
-        window_dma(
-            jax.lax.rem(nstep, 2), nstep // nt, jax.lax.rem(nstep, nt)
-        ).start()
 
     window_dma(slot, bi, i).wait()
 
@@ -479,7 +492,7 @@ def _cv_bwd_df0_kernel_w(gt_ref, f1p_any, out_ref, f1w_ref, sems, *, d: int):
 
 def _cv_bwd_df1_kernel_w(
     gtv_any, f0p_any, out_ref, gts_ref, f0w_ref, sems, *, d: int,
-    rows_in: int,
+    rows_in: int, db: bool,
 ):
     """Windowed df1: both inputs stay in HBM; f0's halo'd (TH + 2d)-row
     window is DMA'd once per tile, and gt — regrouped on the XLA side
@@ -488,19 +501,23 @@ def _cv_bwd_df1_kernel_w(
     VMEM window is unprovable for Mosaic, and unrolling all 81 taps OOMs
     scoped vmem; rows are untiled, so slab-per-v sidesteps both.)
 
-    Both DMA streams are double-buffered: the f0 window across grid
-    steps (as in `_cv_kernel_windowed`), the gt slabs across the
-    fori_loop's vertical-tap iterations (slab v+1 starts before slab v's
-    nine horizontal products run).
+    With ``db`` both DMA streams are double-buffered: the f0 window
+    across grid steps (as in `_cv_kernel_windowed`), the gt slabs across
+    the fori_loop's vertical-tap iterations (slab v+1 starts before slab
+    v's nine horizontal products run). The traced slot indices make every
+    slab/stripe read dynamic in the leading scratch dim, which measured
+    slower than serial DMAs at the sharded-L4 bf16 shape but 2.1x faster
+    at 1024^2 f32 (PARITY §6) — the caller picks per dtype; db=False
+    keeps slot 0 static and issues the DMAs serially.
 
-    gtv_any: (1, n*R, NP, WL)     HBM, R = rows_in = H_out + 2d; slab v
-             holds gt rows [v*R, (v+1)*R) with the u tap in sublanes
+    gtv_any: (1, n*R, NP, WL)        HBM, R = rows_in = H_out + 2d; slab
+             v holds gt rows [v*R, (v+1)*R) with the u tap in sublanes
              (padded to NP)
-    f0p_any: (1, R, C, WL)        HBM
-    out_ref: (1, TH, C, W)        VMEM tile
-    gts_ref: (2, 1, TH, NP, WL)   VMEM scratch (f32) — two slab slots
-    f0w_ref: (2, 1, TH+2d, C, WL) VMEM scratch — two window slots
-    sems:    (4,) DMA semaphores — [0:2] slabs, [2:4] f0 windows
+    f0p_any: (1, R, C, WL)           HBM
+    out_ref: (1, TH, C, W)           VMEM tile
+    gts_ref: (nbuf, 1, TH, NP, WL)   VMEM scratch (f32) slab slots
+    f0w_ref: (nbuf, 1, TH+2d, C, WL) VMEM scratch window slots
+    sems:    (2*nbuf,) DMA semaphores — [0:nbuf] slabs, [nbuf:] windows
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
@@ -510,15 +527,15 @@ def _cv_bwd_df1_kernel_w(
     w = out_ref.shape[3]
     n = 2 * d + 1
     row0 = i * th
+    nbuf = 2 if db else 1
 
     step = bi * nt + i
-    fslot = jax.lax.rem(step, 2)
 
     def window_dma(slot_idx, bj, tj):
         return pltpu.make_async_copy(
             f0p_any.at[pl.ds(bj, 1), pl.ds(tj * th, th + 2 * d)],
             f0w_ref.at[slot_idx],
-            sems.at[2 + slot_idx],
+            sems.at[nbuf + slot_idx],
         )
 
     def slab_dma(slot_idx, bj, r0j, v):
@@ -531,27 +548,38 @@ def _cv_bwd_df1_kernel_w(
             sems.at[slot_idx],
         )
 
-    @pl.when(step == 0)
-    def _warmup():
+    if db:
+        fslot = jax.lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _warmup():
+            window_dma(fslot, bi, i).start()
+
+        nstep = step + 1
+
+        @pl.when(nstep < nb * nt)
+        def _prefetch():
+            window_dma(
+                jax.lax.rem(nstep, 2), nstep // nt, jax.lax.rem(nstep, nt)
+            ).start()
+
+        slab_dma(0, bi, row0, 0).start()
+    else:
+        fslot = 0  # static slot: slab/stripe reads stay static-offset
         window_dma(fslot, bi, i).start()
 
-    nstep = step + 1
-
-    @pl.when(nstep < nb * nt)
-    def _prefetch():
-        window_dma(
-            jax.lax.rem(nstep, 2), nstep // nt, jax.lax.rem(nstep, nt)
-        ).start()
-
-    slab_dma(0, bi, row0, 0).start()
     window_dma(fslot, bi, i).wait()
 
     def body(v, acc):
-        vslot = jax.lax.rem(v, 2)
+        if db:
+            vslot = jax.lax.rem(v, 2)
 
-        @pl.when(v + 1 < n)
-        def _next_slab():
-            slab_dma(jax.lax.rem(v + 1, 2), bi, row0, v + 1).start()
+            @pl.when(v + 1 < n)
+            def _next_slab():
+                slab_dma(jax.lax.rem(v + 1, 2), bi, row0, v + 1).start()
+        else:
+            vslot = 0
+            slab_dma(vslot, bi, row0, v).start()
 
         slab_dma(vslot, bi, row0, v).wait()
         f_stripe = f0w_ref[fslot, 0, pl.ds(2 * d - v, th), :, :]
@@ -602,7 +630,8 @@ def _df0_vmem_bytes(h, w, c, d, th, itemsize, windowed):
     lanes_wp = _round_up(w + 2 * d, 128)
     gt_tile = th * _round_up(taps, 8) * lanes_w * 4  # gt is always f32
     out_tile = th * c * lanes_w * itemsize
-    # windowed: two double-buffered window slots
+    # windowed: sized for two window slots (the db=False variant uses
+    # one — the 2-slot estimate stays conservative for both)
     f1_rows = 2 * (th + 2 * d) if windowed else (h + 2 * d)
     return (
         f1_rows * c * lanes_wp * itemsize
@@ -618,8 +647,8 @@ def _df1_vmem_bytes(h_out, w, c, d, th, itemsize, windowed):
     lanes_wp = _round_up(w + 2 * d, 128)
     out_tile = th * c * lanes_w * itemsize
     if windowed:
-        # two gt slab slots + two f0 window slots (double-buffered DMAs;
-        # gt is always f32)
+        # sized for two gt slab slots + two f0 window slots (the db=False
+        # variant uses one of each; the 2-slot estimate is conservative)
         gt = 2 * th * _round_up(n, 8) * lanes_wp * 4
         f0 = 2 * (th + 2 * d) * c * lanes_wp * itemsize
         return gt + f0 + 2 * out_tile + _bwd_temp_bytes(w, c, d, th)
@@ -655,12 +684,29 @@ def _plan_bwd(h_out, w, c, d, itemsize, tile_h, bytes_fn):
     return None, None
 
 
-def _run_df0(gt_t, f1p_t, h, w, c, d, th, windowed, interpret, out_dtype):
+def _bwd_db(itemsize: int) -> bool:
+    """Double-buffer the windowed backward kernels' DMA streams?
+
+    Measured on v5e-1 (PARITY §6): double-buffering wins 2.1x at the
+    1024^2-L4 f32 shape, is neutral at 112x256 f32 and 1024^2 bf16, and
+    *loses* 13% at the sharded-L4 112x256 bf16 shape — the traced slot
+    index turns every slab/stripe read dynamic in the scratch's leading
+    dim, which costs more than the overlap buys when the per-tile compute
+    is short (bf16 VPU products). Policy: overlap only for f32 features.
+    (Tests monkeypatch this for coverage of both variants.)
+    """
+    return itemsize == 4
+
+
+def _run_df0(
+    gt_t, f1p_t, h, w, c, d, th, windowed, interpret, out_dtype, db
+):
     """df0[p, c] = sum_t gt[p, t] * f1[p + off_t, c] as a Pallas call."""
     b = gt_t.shape[0]
     n_taps = 2 * d + 1
     if windowed:
-        kernel = functools.partial(_cv_bwd_df0_kernel_w, d=d)
+        kernel = functools.partial(_cv_bwd_df0_kernel_w, d=d, db=db)
+        nbuf = 2 if db else 1
         # lane-pad for 128-aligned DMA (see _cv_forward)
         wl = _round_up(w + 2 * d, 128)
         f1p_t = jnp.pad(
@@ -668,8 +714,8 @@ def _run_df0(gt_t, f1p_t, h, w, c, d, th, windowed, interpret, out_dtype):
         )
         f1_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
-            pltpu.VMEM((2, th + 2 * d, c, wl), f1p_t.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, th + 2 * d, c, wl), f1p_t.dtype),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ]
     else:
         kernel = functools.partial(_cv_bwd_df0_kernel, d=d)
@@ -702,7 +748,7 @@ def _run_df0(gt_t, f1p_t, h, w, c, d, th, windowed, interpret, out_dtype):
 
 
 def _run_df1(
-    gtp_t, f0p_t, h_out, w, c, d, th, windowed, interpret, out_dtype
+    gtp_t, f0p_t, h_out, w, c, d, th, windowed, interpret, out_dtype, db
 ):
     """df1[q, c] = sum_t gt[q - off_t, t] * f0[q - off_t, c] as a Pallas
     call over ``h_out`` output rows; inputs carry h_out + 2d rows (the
@@ -733,16 +779,17 @@ def _run_df1(
             f0p_t, ((0, 0), (0, 0), (0, 0), (0, wl - (w + 2 * d)))
         )
         kernel = functools.partial(
-            _cv_bwd_df1_kernel_w, d=d, rows_in=rows_in
+            _cv_bwd_df1_kernel_w, d=d, rows_in=rows_in, db=db
         )
+        nbuf = 2 if db else 1
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         scratch = [
-            pltpu.VMEM((2, 1, th, np_pad, wl), gtp_t.dtype),
-            pltpu.VMEM((2, 1, th + 2 * d, c, wl), f0p_t.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((nbuf, 1, th, np_pad, wl), gtp_t.dtype),
+            pltpu.VMEM((nbuf, 1, th + 2 * d, c, wl), f0p_t.dtype),
+            pltpu.SemaphoreType.DMA((2 * nbuf,)),
         ]
     else:
         kernel = functools.partial(_cv_bwd_df1_kernel, d=d)
@@ -807,12 +854,13 @@ def _cv_bwd(search_range, tile_h, interpret, res, g):
     )
     gt_t = jnp.transpose(gt, (0, 1, 3, 2))  # (B, H, T, W) f32
 
+    db = _bwd_db(itemsize)
     f1p_t = jnp.transpose(
         jnp.pad(f1, ((0, 0), (d, d), (d, d), (0, 0))), (0, 1, 3, 2)
     )
     df0 = _run_df0(
         gt_t, f1p_t, h, w, c, d, th0, mode0 == "windowed", interpret,
-        f0.dtype,
+        f0.dtype, db,
     )
 
     gtp_t = jnp.pad(gt_t, ((0, 0), (d, d), (0, 0), (d, d)))
@@ -821,7 +869,7 @@ def _cv_bwd(search_range, tile_h, interpret, res, g):
     )
     df1 = _run_df1(
         gtp_t, f0p_t, h, w, c, d, th1, mode1 == "windowed", interpret,
-        f1.dtype,
+        f1.dtype, db,
     )
 
     return (
@@ -930,12 +978,13 @@ def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
     gt_t = jnp.transpose(gt, (0, 1, 3, 2))  # (B, H, T, W)
 
     # -- df0: identical to the plain backward; f1_ext == "f1 padded by d"
+    db = _bwd_db(itemsize)
     f1p_t = jnp.transpose(
         jnp.pad(f1_ext, ((0, 0), (0, 0), (d, d), (0, 0))), (0, 1, 3, 2)
     )  # (B, H+2d, C, W+2d)
     df0 = _run_df0(
         gt_t, f1p_t, h, w, c, d, th0, mode0 == "windowed", interpret,
-        f0.dtype,
+        f0.dtype, db,
     )
 
     # -- df1_ext over the h+2d extended rows: pad gt/f0 rows by 2d so the
@@ -946,7 +995,7 @@ def _cv_hpad_bwd(search_range, tile_h, interpret, res, g):
     )  # (B, H+4d, C, W+2d)
     df1_ext = _run_df1(
         gtp_t, f0p_t, he, w, c, d, th1, mode1 == "windowed", interpret,
-        f1_ext.dtype,
+        f1_ext.dtype, db,
     )
     return (
         jnp.transpose(df0, (0, 1, 3, 2)),

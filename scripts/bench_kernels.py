@@ -30,6 +30,11 @@ def main():
                         "compiles — the fwd+bwd autodiff transpose is a "
                         "scatter loop; round-2 XLA numbers are recorded "
                         "in PARITY.md §6)")
+    parser.add_argument("--db", choices=["auto", "0", "1"], default="auto",
+                        help="Backward-kernel DMA double-buffering: "
+                        "auto (the _bwd_db per-dtype policy), 0 = serial "
+                        "single-slot, 1 = overlapped two-slot "
+                        "(same-session A/B)")
     args = parser.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -43,6 +48,9 @@ def main():
     from pwcnet_tpu.ops.pallas import cost_volume_pallas
     from pwcnet_tpu.ops.pallas import cost_volume as cvp
     from pwcnet_tpu.utils.profiling import device_timeit
+
+    if args.db != "auto":
+        cvp._bwd_db = lambda itemsize, _v=args.db == "1": _v
 
     rng = np.random.default_rng(0)
     d = 4
@@ -66,7 +74,10 @@ def main():
             g = jnp.asarray(
                 rng.standard_normal((b, h, w, (2 * d + 1) ** 2)), dtype
             )
-            tag = f"{label} {dt.name} [fwd={mode_f},df0={mode_b0},df1={mode_b1}]"
+            tag = (
+                f"{label} {dt.name} [fwd={mode_f},df0={mode_b0},"
+                f"df1={mode_b1},db={int(cvp._bwd_db(dt.itemsize))}]"
+            )
 
             t = device_timeit(
                 lambda a: cost_volume_pallas(a, f1, d), f0, iters=args.iters

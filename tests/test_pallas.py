@@ -101,12 +101,19 @@ class TestWindowedKernels:
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
-    def test_backward_windowed_matches_reference(self, rng, monkeypatch):
+    @pytest.mark.parametrize("db", [True, False])
+    def test_backward_windowed_matches_reference(
+        self, rng, monkeypatch, db
+    ):
+        """Covers both DMA variants: double-buffered (db=True, traced
+        slot) and serial single-slot (db=False, static slot) — the
+        planner picks per feature dtype (`_bwd_db`)."""
         from pwcnet_tpu.ops.pallas import cost_volume as cvp
 
         monkeypatch.setattr(
             cvp, "_plan_bwd", lambda *a, **k: ("windowed", 4)
         )
+        monkeypatch.setattr(cvp, "_bwd_db", lambda itemsize: db)
         f0 = _rand(rng, (2, 8, 8, 4))
         f1 = _rand(rng, (2, 8, 8, 4))
         g = _rand(rng, (2, 8, 8, 25))
@@ -126,8 +133,9 @@ class TestWindowedKernels:
             np.asarray(gb_pal), np.asarray(gb_ref), rtol=1e-4, atol=1e-5
         )
 
+    @pytest.mark.parametrize("db", [True, False])
     def test_hpad_backward_windowed_matches_reference(
-        self, rng, monkeypatch
+        self, rng, monkeypatch, db
     ):
         from pwcnet_tpu.ops.pallas import cost_volume as cvp
         from pwcnet_tpu.ops.pallas.cost_volume import cost_volume_pallas_hpad
@@ -135,6 +143,7 @@ class TestWindowedKernels:
         monkeypatch.setattr(
             cvp, "_plan_bwd", lambda *a, **k: ("windowed", 4)
         )
+        monkeypatch.setattr(cvp, "_bwd_db", lambda itemsize: db)
         d = 2
         f0 = _rand(rng, (1, 8, 8, 4))
         f1 = _rand(rng, (1, 8, 8, 4))
