@@ -148,7 +148,14 @@ class FlowDataset:
             raise ValueError(f"bad .flo file: {pf}")
         return images, flow.astype(np.float32)
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng=None):
+        """``rng``: optional Generator for the crop/flip draws. The
+        DataLoader passes a per-(epoch, sample) generator so augmentation
+        is deterministic regardless of worker-thread scheduling and of
+        mid-epoch preemption resume; plain ``ds[i]`` indexing draws from
+        the dataset's own seed-constructed stream."""
+        if rng is None:
+            rng = self._rng
         images, flow = self._load_raw(idx)
 
         if self.resize_shape is not None:
@@ -166,8 +173,8 @@ class FlowDataset:
                     f"crop {self.crop_shape} larger than image {(h, w)}"
                 )
             if self.crop_type == "random":
-                y0 = int(self._rng.integers(0, h - ch + 1))
-                x0 = int(self._rng.integers(0, w - cw + 1))
+                y0 = int(rng.integers(0, h - ch + 1))
+                x0 = int(rng.integers(0, w - cw + 1))
             elif self.crop_type == "center":
                 y0, x0 = (h - ch) // 2, (w - cw) // 2
             else:
@@ -176,10 +183,10 @@ class FlowDataset:
             flow = flow[y0 : y0 + ch, x0 : x0 + cw]
 
         if self.random_flip:
-            if self._rng.random() < 0.5:  # horizontal
+            if rng.random() < 0.5:  # horizontal
                 images = images[:, :, ::-1]
                 flow = flow[:, ::-1] * np.array([-1.0, 1.0], np.float32)
-            if self._rng.random() < 0.5:  # vertical
+            if rng.random() < 0.5:  # vertical
                 images = images[:, ::-1]
                 flow = flow[::-1] * np.array([1.0, -1.0], np.float32)
 

@@ -71,8 +71,16 @@ class DataLoader:
         # one-shot skip count consumed by the next iteration.
         self.epoch = 0
         self.start_batch = 0
-        self._rng = np.random.default_rng(seed)
         self._native = self._native_setup(use_native)
+
+    def _sample_rng(self, epoch: int, idx: int) -> np.random.Generator:
+        """Augmentation generator for sample ``idx`` of ``epoch``: a pure
+        function of (seed, epoch, sample index), so crop/flip draws are
+        identical regardless of worker-thread scheduling, of the native
+        vs PIL path's batching, and of how much of the epoch a preempted
+        run consumed before resume (each sample index appears exactly
+        once per epoch)."""
+        return np.random.default_rng((self.seed, epoch, 1, int(idx)))
 
     def _native_setup(self, use_native):
         """Enable the C++ batch assembler when the dataset qualifies:
@@ -118,15 +126,16 @@ class DataLoader:
             "flip": getattr(ds, "random_flip", False),
         }
 
-    def _native_assemble(self, idxs):
+    def _native_assemble(self, idxs, epoch: int):
         cfg = self._native
         ds = self.dataset
         h, w = cfg["hw"]
         ch, cw = cfg["crop"]
         n = len(idxs)
+        rngs = [self._sample_rng(epoch, i) for i in idxs]
         if cfg["crop_type"] == "random" and (h, w) != (ch, cw):
-            y0s = self._rng.integers(0, h - ch + 1, n)
-            x0s = self._rng.integers(0, w - cw + 1, n)
+            y0s = np.array([r.integers(0, h - ch + 1) for r in rngs])
+            x0s = np.array([r.integers(0, w - cw + 1) for r in rngs])
         elif cfg["crop_type"] == "center":
             y0s = np.full(n, (h - ch) // 2)
             x0s = np.full(n, (w - cw) // 2)
@@ -134,7 +143,7 @@ class DataLoader:
             y0s = np.zeros(n, int)
             x0s = np.zeros(n, int)
         flips = (
-            self._rng.integers(0, 4, n)
+            np.array([r.integers(0, 4) for r in rngs], np.uint8)
             if cfg["flip"]
             else np.zeros(n, np.uint8)
         )
@@ -185,14 +194,21 @@ class DataLoader:
         return images, flows
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        # per-epoch augmentation stream (crop/flip draws), independent of
+        # crop/flip draws come from per-(epoch, sample) generators
+        # (`_sample_rng`), so the augmentation stream is independent of
         # how much of any previous epoch ran
-        self._rng = np.random.default_rng((self.seed, self.epoch, 1))
+        epoch = self.epoch
         skip, self.start_batch = self.start_batch, 0
         if self._native is not None:
-            yield from self._iter_native(skip)
+            yield from self._iter_native(epoch, skip)
             self.epoch += 1
             return
+
+        def submit(pool, i):
+            return pool.submit(
+                self.dataset.__getitem__, int(i), self._sample_rng(epoch, i)
+            )
+
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending = collections.deque()
             batches = self._batch_indices(skip)
@@ -201,23 +217,16 @@ class DataLoader:
                 idxs = next(batches, None)
                 if idxs is None:
                     break
-                pending.append(
-                    [pool.submit(self.dataset.__getitem__, int(i)) for i in idxs]
-                )
+                pending.append([submit(pool, i) for i in idxs])
             while pending:
                 futures = pending.popleft()
                 idxs = next(batches, None)
                 if idxs is not None:
-                    pending.append(
-                        [
-                            pool.submit(self.dataset.__getitem__, int(i))
-                            for i in idxs
-                        ]
-                    )
+                    pending.append([submit(pool, i) for i in idxs])
                 yield self._assemble(futures)
         self.epoch += 1
 
-    def _iter_native(self, skip: int = 0):
+    def _iter_native(self, epoch: int, skip: int = 0):
         """C++ fast path: one thread assembles batch k+1 while batch k is
         consumed (the C++ core itself fans decoding out over threads)."""
         with ThreadPoolExecutor(max_workers=1) as pool:
@@ -227,12 +236,14 @@ class DataLoader:
                 idxs = next(batches, None)
                 if idxs is None:
                     break
-                pending.append(pool.submit(self._native_assemble, idxs))
+                pending.append(pool.submit(self._native_assemble, idxs, epoch))
             while pending:
                 fut = pending.popleft()
                 idxs = next(batches, None)
                 if idxs is not None:
-                    pending.append(pool.submit(self._native_assemble, idxs))
+                    pending.append(
+                        pool.submit(self._native_assemble, idxs, epoch)
+                    )
                 yield fut.result()
 
 

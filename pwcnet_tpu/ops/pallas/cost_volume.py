@@ -165,7 +165,11 @@ def _cv_forward(
                 # slice formulation (the backward falls back likewise)
                 return _cv_fwd_xla(f0, f1, d, h_prepadded)
             windowed = mode == "windowed"
-        tile_h = tile_h or plan_th
+        # always take the planner's tile: a user tile_h that does not
+        # divide h was rejected inside _plan_fwd (auto-planned), and
+        # `tile_h or plan_th` would resurrect it — grid = h // tile_h
+        # then silently leaves the trailing output rows unwritten
+        tile_h = plan_th
     th = tile_h
     n_taps = 2 * d + 1
 
@@ -328,7 +332,11 @@ def cost_volume_pallas(
         from pwcnet_tpu.ops.cost_volume import cost_volume
 
         return cost_volume(f0, f1, d)
-    return _cost_volume_pallas_vjp(f0, f1, d, tile_h or plan_th, interpret)
+    # plan_th, not `tile_h or plan_th`: _plan_fwd rejects a non-dividing
+    # user tile, and resurrecting it here would leave trailing output
+    # rows unwritten (plan_th is None only when mode is None under
+    # interpret, and _cv_forward re-plans in that case)
+    return _cost_volume_pallas_vjp(f0, f1, d, plan_th, interpret)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

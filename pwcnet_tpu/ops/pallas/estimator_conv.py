@@ -730,6 +730,14 @@ def estimator_chain_fused(
         interpret = True
     couts = [kbs[2 * i].shape[-1] for i in range(_NCONV)]
     itemsize = jnp.dtype(xin.dtype).itemsize
+    if tile_h is not None and (
+        h % tile_h
+        or _fwd_vmem(h, w, cin, couts, itemsize, tile_h) > _VMEM_BUDGET
+    ):
+        # a non-dividing tile would leave trailing output rows unwritten
+        # (grid = h // tile_h); auto-plan instead, like _plan_fwd in the
+        # cost-volume planner
+        tile_h = None
     th = tile_h or _pick_tile_fwd(h, w, cin, couts, itemsize)
     if th is None or _pick_tile_bwd(h, w, cin, couts, itemsize) is None:
         return _xla_chain(xin, *kbs)

@@ -302,11 +302,14 @@ class Trainer:
         and before preemption saves.
 
         ``cursor``: the loader position {"epoch", "batch"} to persist as
-        a sidecar json, written BEFORE the (atomic) state write so a
-        crash between the two leaves no state file claiming a cursor it
-        doesn't have. Resume fast-forwards the loader to it — the
-        reference replays up to a full epoch's samples instead
-        (train.py:164-166)."""
+        a sidecar json, written AFTER the (atomic) state write. Any stale
+        sidecar at the same path is removed first, so every crash window
+        degrades to a cursor-less state — resume then replays the epoch
+        from the top (conservative: samples may be double-counted, like
+        the reference's <=1-epoch loss, train.py:164-166, but never
+        skipped). Writing the cursor first would pair a NEW cursor with a
+        STALE state on a crash between the two, and resume would silently
+        skip samples that state never trained on."""
         if not self.is_main:
             return None
         import json
@@ -317,14 +320,20 @@ class Trainer:
         else:
             path = f"./model/{stem}.msgpack"
         cpath = self._cursor_path(path)
+        if os.path.exists(cpath):
+            os.remove(cpath)  # stale/inherited cursor: see docstring
+        if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
+            # a cursor must never refer to a not-yet-durable state: force
+            # the synchronous path when one is being written
+            out = save_checkpoint_orbax(
+                path, self.state, wait=wait or cursor is not None
+            )
+        else:
+            out = save_checkpoint(path, self.state)
         if cursor is not None:
             with open(cpath, "w") as f:
                 json.dump(cursor, f)
-        elif os.path.exists(cpath):
-            os.remove(cpath)  # a cursor-less save must not inherit one
-        if getattr(self.args, "ckpt_backend", "msgpack") == "orbax":
-            return save_checkpoint_orbax(path, self.state, wait=wait)
-        return save_checkpoint(path, self.state)
+        return out
 
     def _handle_preemption(self, epoch: int, batch: int) -> bool:
         if not getattr(self, "_preempted", False):

@@ -172,6 +172,58 @@ class TestLoader:
         b = [b[1].sum() for b in DataLoader(ds, 4, shuffle=True, seed=1)]
         np.testing.assert_allclose(a, b)
 
+    def test_augmentation_stream_resume_invariant(self, tmp_path):
+        """Crop/flip draws are a pure function of (seed, epoch, sample),
+        so a mid-epoch resume (start_batch > 0) reproduces the exact
+        batches — augmentations included — an uninterrupted run yields,
+        regardless of worker-thread scheduling."""
+        _make_sintel(tmp_path)
+        ds = SintelClean(
+            "train",
+            tmp_path,
+            crop_type="random",
+            crop_shape=(24, 32),
+            random_flip=True,
+        )
+
+        def mk():
+            return DataLoader(
+                ds, batch_size=2, shuffle=True, seed=7, num_workers=3
+            )
+
+        full = list(mk())
+        resumed = mk()
+        resumed.start_batch = 1  # as a cursor fast-forward would set
+        tail = list(resumed)
+        assert len(tail) == len(full) - 1
+        for (fi, ff), (ti, tf) in zip(full[1:], tail):
+            np.testing.assert_array_equal(fi, ti)
+            np.testing.assert_array_equal(ff, tf)
+
+    def test_native_augmentation_matches_pil_path(self, tmp_path):
+        """The native C++ assembler draws its crops from the same
+        per-(epoch, sample) generators as the PIL path, so the two paths
+        produce identical crop windows (flip encodings differ by design:
+        one 4-way draw vs two booleans)."""
+        pytest.importorskip("pwcnet_tpu.data.native")
+        from pwcnet_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        _make_chairs(tmp_path, n=8, hw=(24, 32))
+        ds = FlyingChairs(
+            "train", tmp_path, crop_type="random", crop_shape=(16, 20)
+        )
+        fast = DataLoader(
+            ds, batch_size=4, shuffle=True, seed=3, use_native=True
+        )
+        slow = DataLoader(
+            ds, batch_size=4, shuffle=True, seed=3, use_native=False
+        )
+        for (fi, ff), (si, sf) in zip(fast, slow):
+            np.testing.assert_allclose(fi, si, atol=1e-6)
+            np.testing.assert_allclose(ff, sf, atol=1e-6)
+
     def test_device_prefetch(self):
         import jax
 

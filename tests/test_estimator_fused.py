@@ -89,6 +89,22 @@ class TestEstimatorChainFused:
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
             )
 
+    def test_non_dividing_tile_h_is_auto_planned(self, rng):
+        """Regression: tile_h=3 with h=8 must auto-plan (grid = 8 // 3
+        would leave rows 6-7 unwritten — NaN), matching the cost-volume
+        planner's policy."""
+        x = jnp.asarray(
+            rng.standard_normal((1, 8, 8, 12)).astype(np.float32)
+        )
+        kbs = _chain_params(rng, 12)
+        want = estimator_chain_fused(x, *kbs, tile_h=8, interpret=True)
+        got = estimator_chain_fused(x, *kbs, tile_h=3, interpret=True)
+        for a, b in zip(got, want):
+            assert np.isfinite(np.asarray(a)).all()
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+            )
+
     @pytest.mark.parametrize("tile_h", [8, 2])
     def test_grads_match_xla_chain(self, rng, tile_h):
         """Both cotangents (flow AND features) through the Pallas gz

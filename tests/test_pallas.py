@@ -42,6 +42,17 @@ class TestFusedCostVolume:
         got = np.asarray(cost_volume_pallas(f0, f1, 2, 4, True))  # tile_h=4
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
+    def test_non_dividing_tile_h_is_auto_planned(self, rng):
+        """Regression: a user tile_h that does not divide h must not
+        reach the grid (h // tile_h would leave the trailing rows
+        unwritten — NaN); the planner's accepted tile is used instead."""
+        f0 = _rand(rng, (1, 8, 8, 4))
+        f1 = _rand(rng, (1, 8, 8, 4))
+        want = np.asarray(cost_volume(f0, f1, search_range=2))
+        got = np.asarray(cost_volume_pallas(f0, f1, 2, 5, True))  # 8 % 5
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_gradients_match_reference(self, rng):
         f0 = _rand(rng, (1, 8, 8, 4))
         f1 = _rand(rng, (1, 8, 8, 4))
