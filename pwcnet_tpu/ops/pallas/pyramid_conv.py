@@ -869,22 +869,31 @@ def _xla_level(x, k1, b1, k2, b2, k3, b3):
     )
 
 
-def _pick_tile(h, w, cin, c, itemsize):
-    """Largest half-res row tile whose scratch fits the VMEM budget."""
+def _pick_tile(h, w, cin, c, itemsize, requested: int | None = None):
+    """Largest half-res row tile whose scratch fits the VMEM budget.
+
+    ``requested``: a caller tile, honored only if it divides the half-res
+    row count AND fits the budget (the grid is hh // tile, so a
+    non-dividing tile would silently leave the trailing output rows
+    unwritten); otherwise auto-plan."""
     hh, wh = h // 2, w // 2
     sub = 16 if itemsize == 2 else 8
     cin_p = _round_up(2 * cin, sub)
     wl = _round_up(wh + 2, 128)
-    for t in range(min(hh, 32), 0, -1):
-        if hh % t:
-            continue
+
+    def fits(t):
         window = (2 * t + 10) * cin_p * wl * itemsize
         s1 = (t + 4) * c * wl * itemsize
         s2 = (t + 2) * c * wl * itemsize
         out_tile = 2 * t * c * _round_up(wh, 128) * itemsize
         # patch matrix + dot output + padded-row temporaries (f32)
         temps = (9 * c + 3 * c) * wl * 4
-        if window + s1 + s2 + out_tile + temps <= _VMEM_BUDGET:
+        return window + s1 + s2 + out_tile + temps <= _VMEM_BUDGET
+
+    if requested is not None and hh % requested == 0 and fits(requested):
+        return requested
+    for t in range(min(hh, 32), 0, -1):
+        if hh % t == 0 and fits(t):
             return t
     return None
 
@@ -908,7 +917,7 @@ def pyramid_level_fused(
         # exercise the same code path the TPU compiles.
         interpret = True
     itemsize = jnp.dtype(x.dtype).itemsize
-    th = tile_h or _pick_tile(h, w, cin, k1.shape[-1], itemsize)
+    th = _pick_tile(h, w, cin, k1.shape[-1], itemsize, requested=tile_h)
     if th is None:
         return _xla_level(x, k1, b1, k2, b2, k3, b3)
     tb = (

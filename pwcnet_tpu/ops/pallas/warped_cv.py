@@ -742,7 +742,15 @@ def warped_cost_volume(
     the budget (both pieces gate their own fallbacks further)."""
     b, h, w, c = f0.shape
     d = int(search_range)
-    th = tile_h or _pick_tile(h, w, c, d, jnp.dtype(f0.dtype).itemsize)
+    itemsize = jnp.dtype(f0.dtype).itemsize
+    if tile_h is not None and (
+        h % tile_h
+        or _wcv_vmem_bytes(h, w, c, d, tile_h, itemsize) > _VMEM_BUDGET
+    ):
+        # a non-dividing tile would leave trailing output rows unwritten
+        # (grid = h // tile_h); auto-plan instead
+        tile_h = None
+    th = tile_h or _pick_tile(h, w, c, d, itemsize)
     if th is None:
         from pwcnet_tpu.ops.pallas.cost_volume import cost_volume_pallas
         from pwcnet_tpu.ops.warp import bilinear_warp

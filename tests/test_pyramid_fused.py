@@ -83,6 +83,18 @@ class TestPyramidLevelFused:
         )
         np.testing.assert_allclose(tiled, whole, rtol=1e-6, atol=1e-6)
 
+    def test_non_dividing_tile_h_is_auto_planned(self, rng):
+        """Regression: tile_h=3 with hh=8 half-res rows must auto-plan
+        (grid = hh // tile would leave the trailing rows unwritten)."""
+        x = jnp.asarray(rng.standard_normal((1, 16, 8, 4)).astype(np.float32))
+        params = _level_params(rng, 4, 8)
+        want = np.asarray(_xla_level(x, *params))
+        got = np.asarray(
+            pyramid_level_fused(x, *params, tile_h=3, interpret=True)
+        )
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_odd_size_falls_back_to_xla(self, rng):
         x = jnp.asarray(rng.standard_normal((1, 15, 17, 3)).astype(np.float32))
         params = _level_params(rng, 3, 8)

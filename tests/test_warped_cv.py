@@ -97,6 +97,18 @@ class TestWarpedCostVolume:
                 err_msg=name,
             )
 
+    def test_non_dividing_tile_h_is_auto_planned(self, rng):
+        """Regression: tile_h=5 with h=8 must auto-plan (grid = h // tile
+        would leave the trailing output rows unwritten — NaN)."""
+        shape, d = (1, 8, 8, 4), 2
+        f0 = _rand(rng, shape)
+        f1 = _rand(rng, shape)
+        flow = _rand(rng, (1, 8, 8, 2), 1.0)
+        want = np.asarray(_composed(f0, f1, flow, d))
+        got = np.asarray(warped_cost_volume(f0, f1, flow, d, 5, True))
+        assert np.isfinite(got).all()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_vmem_fallback_path(self, rng):
         """Shapes whose kernel would not fit VMEM fall back to the
         composed warp -> cost_volume_pallas path (still differentiable)."""
