@@ -200,20 +200,41 @@ def main():
                         help="Benchmark ONLY inference (448x1024)")
     args = parser.parse_args()
 
+    def run(fn, h, w):
+        """One bench mode; if the preferred banded pyramid kernels fail
+        to compile on this toolchain, retry on the row-loop kernels
+        (hardware-proven since round 2) so the artifact still records a
+        measurement. Warnings go to stderr — stdout stays JSON lines."""
+        import sys
+
+        try:
+            fn(args, h, w)
+        except Exception as e:
+            if not args.banded:
+                raise
+            print(
+                f"warning: banded pyramid kernels failed ({type(e).__name__}: "
+                f"{e}); retrying with the row-loop kernels (--banded 0)",
+                file=sys.stderr,
+                flush=True,
+            )
+            args.banded = 0
+            fn(args, h, w)
+
     # default: both (train first; the final line is the headline metric)
     do_train = args.train or not args.infer
     do_infer = args.infer or not args.train
     user_batch = args.batch
     if do_train:
         args.batch = user_batch or 4
-        bench_train(args, args.height or 384, args.width or 448)
+        run(bench_train, args.height or 384, args.width or 448)
     if do_infer:
         args.batch = user_batch or 4
-        bench_infer(args, args.height or 448, args.width or 1024)
+        run(bench_infer, args.height or 448, args.width or 1024)
         if user_batch is None:
             # headline: the measured serving knee (PARITY §6 scaling)
             args.batch = 8
-            bench_infer(args, args.height or 448, args.width or 1024)
+            run(bench_infer, args.height or 448, args.width or 1024)
 
 
 if __name__ == "__main__":
