@@ -249,8 +249,7 @@ def _cv_fwd_xla(f0, f1, d, h_prepadded=False):
     return jax.nn.leaky_relu(cv, 0.1)
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from pwcnet_tpu.ops.pallas.common import round_up as _round_up  # noqa: E402
 
 
 def _fwd_vmem_bytes(h, w, c, d, th, itemsize):
@@ -265,7 +264,7 @@ def _fwd_vmem_bytes(h, w, c, d, th, itemsize):
     return full_f1 + 2 * (f0_tile + out_tile)
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+from pwcnet_tpu.ops.pallas.common import VMEM_BUDGET as _VMEM_BUDGET
 
 
 def _fwd_windowed_vmem_bytes(h, w, c, d, th, itemsize):
@@ -285,12 +284,13 @@ def _plan_fwd(h, w, c, d, itemsize, tile_h=None):
     """Pick (mode, tile) for the forward kernel: 'full' keeps frame 1
     VMEM-resident (fastest — fetched once per batch element), 'windowed'
     DMAs per-tile row windows from HBM (large shapes), (None, None) means
-    even one windowed tile row does not fit (fall back to XLA)."""
-    if tile_h is not None and h % tile_h:
-        # a tile that does not divide the output rows would leave the
-        # trailing rows unwritten (grid = h // tile_h): auto-plan instead
-        tile_h = None
-    if tile_h is not None:
+    even one windowed tile row does not fit (fall back to XLA).
+
+    A user tile_h is honored only if it divides h (a non-dividing tile
+    leaves the trailing rows unwritten — grid = h // tile_h) AND fits the
+    VMEM budget; otherwise auto-plan — never silently degrade to the XLA
+    fallback because of a bad request."""
+    if tile_h is not None and h % tile_h == 0:
         if _fwd_vmem_bytes(h, w, c, d, tile_h, itemsize) <= _VMEM_BUDGET:
             return "full", tile_h
         if (
@@ -298,7 +298,6 @@ def _plan_fwd(h, w, c, d, itemsize, tile_h=None):
             <= _VMEM_BUDGET
         ):
             return "windowed", tile_h
-        return None, None
     th = _round_tile(h)
     if _fwd_vmem_bytes(h, w, c, d, th, itemsize) <= _VMEM_BUDGET:
         return "full", th
@@ -669,18 +668,16 @@ def _df1_vmem_bytes(h_out, w, c, d, th, itemsize, windowed):
 def _plan_bwd(h_out, w, c, d, itemsize, tile_h, bytes_fn):
     """(mode, tile) for one backward kernel; same policy as `_plan_fwd`.
 
-    A user tile_h that does not divide ``h_out`` is ignored (auto-plan):
-    the hpad backward's df1_ext kernel covers h + 2d output rows, so a
-    tile that divides h but not h + 2d would silently leave the trailing
-    halo rows unwritten."""
-    if tile_h is not None and h_out % tile_h:
-        tile_h = None
-    if tile_h is not None:
+    A user tile_h that does not divide ``h_out`` or does not fit the
+    VMEM budget is ignored (auto-plan): the hpad backward's df1_ext
+    kernel covers h + 2d output rows, so a tile that divides h but not
+    h + 2d would silently leave the trailing halo rows unwritten; and a
+    too-big tile must not drop the whole Pallas path to the XLA loop."""
+    if tile_h is not None and h_out % tile_h == 0:
         if bytes_fn(h_out, w, c, d, tile_h, itemsize, False) <= _VMEM_BUDGET:
             return "full", tile_h
         if bytes_fn(h_out, w, c, d, tile_h, itemsize, True) <= _VMEM_BUDGET:
             return "windowed", tile_h
-        return None, None
     th = _round_tile(h_out)
     if bytes_fn(h_out, w, c, d, th, itemsize, False) <= _VMEM_BUDGET:
         return "full", th

@@ -68,7 +68,7 @@ from pwcnet_tpu.ops.pallas.pyramid_conv import (
 
 __all__ = ["estimator_chain_fused"]
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+from pwcnet_tpu.ops.pallas.common import VMEM_BUDGET as _VMEM_BUDGET
 _NCONV = 6  # 5 hidden convs + linear flow conv
 
 
@@ -344,28 +344,39 @@ def _est_bwd_kernel(
 
     Positional refs:
       s1f..s4f: (B, H+10, C_i, WL) HBM saved stripes, 5 zero rows/side
-      gflow:    (1, TH, 8, WL) VMEM block — flow cotangent, exact rows
-      gfeat:    (1, TH, C5, WL) VMEM block — features cotangent
-      s5f:      (B, H+2, C5, WL) HBM saved s5 frame, 1 zero row/side
+      gflow:    (B, H+12, 8, WL) HBM — flow cotangent, 6 zero rows/side
+      gfeat:    (B, H+10, C5, WL) HBM — features cotangent, 5 rows/side
+      s5f:      (B, H+10, C5, WL) HBM saved s5 frame, 5 zero rows/side
       k6t..k1t: transposed stacked kernels
       gz1..gz5: exact-row output tiles (for XLA dk/db)
-      dxblk:    (1, 1, TH+12, CINP, WL) output — tile's dxin window
-      sw1..sw4: (1, TH+2*(5-i), C_i, WL) scratch — stripe windows
-      s5w:      (1, TH+2, C5, WL) scratch
-      ds1..ds5: f32 scratch, ds_i = d(z_i) rows [r0-(6-i), r0+th+(6-i))
-      dxs:      (TH+12, CINP, WL) f32 scratch
-      sems:     DMA semaphores (5,)
+      dxblk:    (1, TH, CINP, WL) output — EXACT dxin rows
+      sw1..sw4: (1, TH+2*i, C_i, WL) scratch — s_i window, halo i
+      s5w:      (1, TH+10, C5, WL) scratch — s5 window, halo 5
+      gfw:      (1, TH+12, 8, WL) scratch — gflow window, halo 6
+      gtw:      (1, TH+10, C5, WL) scratch — gfeat window, halo 5
+      ds1..ds5: f32 scratch, ds_i buffer rows [r0-(i+2), r0+th+(i+2))
+      dxs:      (TH+4, CINP, WL) f32 scratch
+      sems:     DMA semaphores (7,)
 
-    Tile ownership: this step propagates the cotangents of ITS exact
-    output rows [r0, r0+th) down to a (TH+12)-row dxin window; the
-    caller overlap-adds windows across tiles. ds_i local index =
-    global_row - (r0 - (6-i)); stage i writes exactly stage (i-1)'s
-    extent, so no row-bound guards are needed.
+    EXACT-ROW scheme: the cotangent windows carry halo rows from the
+    neighbor tiles (conv-transpose spreads a cotangent row +-1 per
+    stage, so gz_i is exact only with (7-i) halo cotangent rows... the
+    required extents are gz_i over +-i given gflow over +-6 and gfeat
+    over +-5), so every gz_i value this tile emits — and every dx row —
+    is the complete gradient. The halo sizes INVERT vs a
+    decompose-by-source scheme: s_i masks are needed over gz_i's +-i
+    extent, and ds_i buffers carry +-(i+2) rows so stage (i+1)'s
+    three-row scatter exactly fills them (write idx = sj + dy for every
+    stage; the 2 unread edge rows hold partial sums by construction).
+    A per-tile chain over OWN cotangent rows only would make gz rows
+    within (6-i) rows of a tile seam miss the neighbor's contributions
+    — wrong dk/db (dx survives via overlap-add) — the bug this layout
+    replaced.
     """
     nc = _NCONV
     s_frames = refs[0:4]
-    gflow_ref = refs[4]
-    gfeat_ref = refs[5]
+    gflow_any = refs[4]
+    gfeat_any = refs[5]
     s5f_ref = refs[6]
     kts = refs[7 : 7 + nc]  # k6t, k5t, ..., k1t
     n_in = 7 + nc
@@ -374,22 +385,25 @@ def _est_bwd_kernel(
     base = n_in + nc  # first scratch ref
     sw_refs = refs[base : base + 4]  # s1..s4 windows
     s5w_ref = refs[base + 4]
-    ds_refs = refs[base + 5 : base + 5 + nc - 1]  # ds1..ds5
-    dxs_ref = refs[base + 5 + nc - 1]
+    gfw_ref = refs[base + 5]
+    gtw_ref = refs[base + 6]
+    ds_refs = refs[base + 7 : base + 7 + nc - 1]  # ds1..ds5
+    dxs_ref = refs[base + 7 + nc - 1]
     sems = refs[-1]
 
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     r0 = ti * th
     f32 = jnp.float32
-    wl = gflow_ref.shape[3]
+    wl = gfw_ref.shape[3]
     c5 = couts[-2]
 
-    # overlapped row-window DMAs for the saved stripes: s_i window
-    # covers rows [r0-(6-i), r0+th+(6-i)) of the 5-row-padded frame.
+    # overlapped row-window DMAs: s_i's window covers gz_i's extent
+    # [r0-i, r0+th+i) (all source frames are 5/6-row zero-padded, so
+    # every read is in-bounds: start = r0 - halo + pad).
     copies = []
     for i in range(4):
-        halo = 5 - i  # s_{i+1}'s halo rows each side
+        halo = i + 1  # s_{i+1}'s halo rows each side
         copies.append(
             pltpu.make_async_copy(
                 s_frames[i].at[
@@ -401,7 +415,20 @@ def _est_bwd_kernel(
         )
     copies.append(
         pltpu.make_async_copy(
-            s5f_ref.at[pl.ds(bi, 1), pl.ds(r0, th + 2)], s5w_ref, sems.at[4]
+            s5f_ref.at[pl.ds(bi, 1), pl.ds(r0, th + 10)], s5w_ref,
+            sems.at[4],
+        )
+    )
+    copies.append(
+        pltpu.make_async_copy(
+            gflow_any.at[pl.ds(bi, 1), pl.ds(r0, th + 12)], gfw_ref,
+            sems.at[5],
+        )
+    )
+    copies.append(
+        pltpu.make_async_copy(
+            gfeat_any.at[pl.ds(bi, 1), pl.ds(r0, th + 10)], gtw_ref,
+            sems.at[6],
         )
     )
     for cp in copies:
@@ -433,26 +460,27 @@ def _est_bwd_kernel(
         ds[...] = jnp.zeros(ds.shape, ds.dtype)
     dxs_ref[...] = jnp.zeros(dxs_ref.shape, dxs_ref.dtype)
 
-    # ---- flow-conv backward: gz6 = g_flow rows [r0, r0+th) -> ds5
+    # ---- flow-conv backward: gz6 = g_flow rows [r0-6, r0+th+6) -> ds5
     ds5 = ds_refs[-1]
     k6t = kts[0]
 
     def row6(j, carry):
-        gz = gflow_ref[0, pl.ds(j, 1), :, :][0][: couts[-1]].astype(f32)
+        gz = gfw_ref[0, pl.ds(j, 1), :, :][0][: couts[-1]].astype(f32)
         gz = gz * lane_mask
         dp = jnp.concatenate([rollr(gz, d - 1) for d in range(3)], axis=0)
         v = jax.lax.dot(k6t[...], dp, preferred_element_type=f32)
         for dy in range(3):
-            # gz6 row r0+j contributes to ds5 global rows r0+j-1+dy,
-            # local index j+dy (ds5 starts at r0-1)
+            # gz6 global row r0-6+j contributes to ds5 global rows
+            # r0-7+j+dy, local index j+dy (ds5 buffer starts at r0-7)
             ds5[pl.ds(j + dy, 1), :, :] += v[dy * c5 : (dy + 1) * c5][None]
         return carry
 
-    jax.lax.fori_loop(0, th, row6, 0)
+    jax.lax.fori_loop(0, th + 12, row6, 0)
 
-    # ---- hidden convs backward, stage i = 5..1 (1-based conv index)
+    # ---- hidden convs backward, stage i = 5..1 (1-based conv index):
+    # stage i computes gz_i over its exact extent [r0-i, r0+th+i)
     for i in range(nc - 1, 0, -1):
-        halo = 6 - i
+        halo = i
         sw = s5w_ref if i == nc - 1 else sw_refs[i - 1]
         dst = dxs_ref if i == 1 else ds_refs[i - 2]
         c_dn = cinp if i == 1 else couts[i - 2]
@@ -462,15 +490,12 @@ def _est_bwd_kernel(
                       gz_out=gz_refs[i - 1], kt=kts[nc - i],
                       c=couts[i - 1], add_gfeat=(i == nc - 1)):
             r = r0 - halo + sj
-            g = ds_cur[pl.ds(sj, 1), :, :][0]
+            # ds_i buffer halo is i+2, this extent's is i: offset 2
+            g = ds_cur[pl.ds(sj + 2, 1), :, :][0]
             if add_gfeat:
-                # the features output's direct cotangent lands on this
-                # tile's exact rows only (each tile owns its own rows)
-                in_exact = jnp.logical_and(sj >= halo, sj < halo + th)
-                gf = gfeat_ref[
-                    0, pl.ds(jnp.maximum(sj - halo, 0), 1), :, :
-                ][0].astype(f32)
-                g = g + jnp.where(in_exact, gf, jnp.zeros_like(gf))
+                # features cotangent adds at the z5 level over gz5's
+                # whole +-5 extent (window halo == stage extent halo)
+                g = g + gtw_ref[0, pl.ds(sj, 1), :, :][0].astype(f32)
             sval = sw[0, pl.ds(sj, 1), :, :][0].astype(f32)
             gz = g * leaky_mask(sval) * lane_mask
             valid = jnp.logical_and(r >= 0, r < hh)
@@ -487,6 +512,8 @@ def _est_bwd_kernel(
             )
             v = jax.lax.dot(kt[...], dp, preferred_element_type=f32)
             for dy in range(3):
+                # gz_i row r -> dst rows r-1+dy; dst buffer halo i+1
+                # (dxs: 2), so local = sj + dy for every stage
                 dst[pl.ds(sj + dy, 1), :, :] += (
                     v[dy * c_dn : (dy + 1) * c_dn][None]
                 )
@@ -494,31 +521,37 @@ def _est_bwd_kernel(
 
         jax.lax.fori_loop(0, th + 2 * halo, stage_row, 0)
 
-    dx_ref[0, 0] = dxs_ref[...].astype(dx_ref.dtype)
+    # exact dx rows [r0, r0+th) sit at dxs local [2, th+2)
+    dx_ref[0] = dxs_ref[pl.ds(2, th), :, :].astype(dx_ref.dtype)
 
 
 def _bwd_vmem(h, w, cin, couts, itemsize, th):
     sub = 16 if itemsize == 2 else 8
     cinp = _round_up(cin, sub)
     wl = _round_up(w + 2, 128)
+    # stripe windows at the exact-row scheme's inverted halos (s_i: +-i)
     windows = sum(
-        (th + 2 * (5 - i)) * couts[i] * wl * itemsize for i in range(4)
-    ) + (th + 2) * couts[-2] * wl * itemsize
+        (th + 2 * (i + 1)) * couts[i] * wl * itemsize for i in range(4)
+    ) + (th + 10) * couts[-2] * wl * itemsize
+    # cotangent windows: gflow +-6, gfeat +-5
+    g_windows = (th + 12) * 8 * wl * itemsize + (th + 10) * couts[
+        -2
+    ] * wl * itemsize
+    # ds_i buffers carry +-(i+2) rows (stage i+1's scatter fills exactly)
     ds = sum(
-        (th + 2 * (6 - i)) * couts[i - 1] * wl * 4
+        (th + 2 * (i + 2)) * couts[i - 1] * wl * 4
         for i in range(1, _NCONV)
     )
-    dxs = (th + 12) * cinp * wl * 4
+    dxs = (th + 4) * cinp * wl * 4
     gz_tiles = sum(th * c * wl * itemsize for c in couts[:-1])
-    dx_tile = (th + 12) * cinp * wl * itemsize
-    g_tiles = th * (8 + couts[-2]) * wl * itemsize
+    dx_tile = th * cinp * wl * itemsize
     kmats = sum(
         3 * couts[i] * 3 * c_in * itemsize
         for i, c_in in enumerate([cinp] + couts[:-1])
     )
     temps = 3 * max(couts) * wl * 4 + 3 * max(cinp, max(couts)) * wl * 4
     return (
-        windows + ds + dxs + gz_tiles + dx_tile + g_tiles + kmats + temps
+        windows + g_windows + ds + dxs + gz_tiles + dx_tile + kmats + temps
     )
 
 
@@ -549,19 +582,26 @@ def _est_bwd_pallas(xin, kbs, feat, acts, g_flow, g_feat, interpret):
     s_frames = [
         jnp.pad(a, ((0, 0), (5, 5), (0, 0), (0, 0))) for a in acts
     ]
-    # s5 margin-lane frame from the NHWC features output, 1-row pad
+    # s5 margin-lane frame from the NHWC features output, 5-row pad
+    # (gz5's exact extent is +-5)
     s5m = jnp.transpose(feat, (0, 1, 3, 2))
-    s5m = jnp.pad(s5m, ((0, 0), (1, 1), (0, 0), (1, wl - w - 1)))
+    s5m = jnp.pad(s5m, ((0, 0), (5, 5), (0, 0), (1, wl - w - 1)))
 
-    def to_margin(arr, cpad):
+    def to_margin(arr, cpad, row_pad):
         t = jnp.transpose(arr, (0, 1, 3, 2))
         return jnp.pad(
             t,
-            ((0, 0), (0, 0), (0, cpad - t.shape[2]), (1, wl - w - 1)),
+            (
+                (0, 0),
+                (row_pad, row_pad),
+                (0, cpad - t.shape[2]),
+                (1, wl - w - 1),
+            ),
         )
 
-    gfm = to_margin(g_flow.astype(xin.dtype), 8)
-    gtm = to_margin(g_feat.astype(xin.dtype), c5)
+    # halo'd cotangent frames (zero rows outside): gflow +-6, gfeat +-5
+    gfm = to_margin(g_flow.astype(xin.dtype), 8, 6)
+    gtm = to_margin(g_feat.astype(xin.dtype), c5, 5)
 
     cins = [cinp] + couts[:-1]
     kts = [
@@ -581,18 +621,7 @@ def _est_bwd_pallas(xin, kbs, feat, acts, g_flow, g_feat, interpret):
             interpret=interpret,
         ),
         grid=(b, nt),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
-        + [
-            pl.BlockSpec(
-                (1, th, 8, wl), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, th, c5, wl), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 7
         + [
             pl.BlockSpec(kt.shape, lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM)
@@ -607,8 +636,8 @@ def _est_bwd_pallas(xin, kbs, feat, acts, g_flow, g_feat, interpret):
         ]
         + [
             pl.BlockSpec(
-                (1, 1, th + 12, cinp, wl),
-                lambda bi, i: (bi, i, 0, 0, 0),
+                (1, th, cinp, wl),
+                lambda bi, i: (bi, i, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         ],
@@ -616,36 +645,33 @@ def _est_bwd_pallas(xin, kbs, feat, acts, g_flow, g_feat, interpret):
             jax.ShapeDtypeStruct((b, h, couts[i], wl), xin.dtype)
             for i in range(_NCONV - 1)
         ]
-        + [jax.ShapeDtypeStruct((b, nt, th + 12, cinp, wl), xin.dtype)],
+        + [jax.ShapeDtypeStruct((b, h, cinp, wl), xin.dtype)],
         scratch_shapes=[
-            pltpu.VMEM((1, th + 2 * (5 - i), couts[i], wl), xin.dtype)
+            pltpu.VMEM((1, th + 2 * (i + 1), couts[i], wl), xin.dtype)
             for i in range(4)
         ]
-        + [pltpu.VMEM((1, th + 2, c5, wl), xin.dtype)]
+        + [
+            pltpu.VMEM((1, th + 10, c5, wl), xin.dtype),
+            pltpu.VMEM((1, th + 12, 8, wl), xin.dtype),
+            pltpu.VMEM((1, th + 10, c5, wl), xin.dtype),
+        ]
         + [
             pltpu.VMEM(
-                (th + 2 * (6 - i), couts[i - 1], wl), jnp.float32
+                (th + 2 * (i + 2), couts[i - 1], wl), jnp.float32
             )
             for i in range(1, _NCONV)
         ]
         + [
-            pltpu.VMEM((th + 12, cinp, wl), jnp.float32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((th + 4, cinp, wl), jnp.float32),
+            pltpu.SemaphoreType.DMA((7,)),
         ],
         interpret=interpret,
     )(*s_frames, gfm, gtm, s5m, *kts)
 
     gz_frames, dxblk = res[: _NCONV - 1], res[-1]
 
-    # ---- dxin: overlap-add the per-tile (TH+12)-row windows
-    acc = jnp.zeros((b, h + 12, cinp, wl), jnp.float32)
-    for t in range(nt):
-        acc = acc.at[:, t * th : t * th + th + 12].add(
-            dxblk[:, t].astype(jnp.float32)
-        )
-    dxin = jnp.transpose(
-        acc[:, 6 : 6 + h, :cin, 1 : w + 1], (0, 1, 3, 2)
-    ).astype(xin.dtype)
+    # ---- dxin: exact rows, no overlap-add
+    dxin = jnp.transpose(dxblk[:, :, :cin, 1 : w + 1], (0, 1, 3, 2))
 
     # ---- dk/db: XLA vjp of the plain convolutions on saved activations
     dn = ("NHWC", "HWIO", "NHWC")

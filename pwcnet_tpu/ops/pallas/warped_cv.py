@@ -58,11 +58,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["warped_cost_volume"]
 
-_VMEM_BUDGET = 12 * 1024 * 1024
+from pwcnet_tpu.ops.pallas.common import VMEM_BUDGET as _VMEM_BUDGET
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from pwcnet_tpu.ops.pallas.common import round_up as _round_up  # noqa: E402
 
 
 def _wcv_vmem_bytes(h, w, c, d, th, itemsize, hf=None, save_ext=False):

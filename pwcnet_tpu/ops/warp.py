@@ -52,27 +52,34 @@ def nearest_warp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 def _warp_patches(x: jnp.ndarray, flow: jnp.ndarray):
     """Shared forward machinery: 2x2 corner patches + lerp weights.
 
-    Returns (patches (B,H,W,2,2,C), wy0, wy1, wx0, wx1 each (B,H,W,1),
+    ``x`` is (B, Hf, W, C); ``flow`` is (B, Ho, W, 2) — output row r
+    samples ``x`` at row ``r + flow_y(r)`` with independent corner
+    clamping against Hf. The plain warp is the special case Ho == Hf;
+    the spatially-sharded path passes Ho < Hf (the all-gathered frame
+    with the shard's global row offset folded into ``flow[..., 1]``).
+
+    Returns (patches (B,Ho,W,2,2,C), wy0, wy1, wx0, wx1 each (B,Ho,W,1),
     y0p, x0p padded top-left corner indices).
     """
-    b, h, w, c = x.shape
+    b, hf, w, c = x.shape
+    ho = flow.shape[1]
     fdt = flow.dtype
     fx = flow[..., 0]
     fy = flow[..., 1]
     fx0 = jnp.floor(fx)
     fy0 = jnp.floor(fy)
 
-    gy = jnp.arange(h, dtype=fdt)[None, :, None]
+    gy = jnp.arange(ho, dtype=fdt)[None, :, None]
     gx = jnp.arange(w, dtype=fdt)[None, None, :]
 
     # padded-coordinate top-left corner of the 2x2 patch
-    y0p = (jnp.clip(gy + fy0, -1, h - 1) + 1).astype(jnp.int32)
+    y0p = (jnp.clip(gy + fy0, -1, hf - 1) + 1).astype(jnp.int32)
     x0p = (jnp.clip(gx + fx0, -1, w - 1) + 1).astype(jnp.int32)
 
     xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
 
     starts = jnp.stack(
-        [y0p.reshape(b, h * w), x0p.reshape(b, h * w)], axis=-1
+        [y0p.reshape(b, ho * w), x0p.reshape(b, ho * w)], axis=-1
     )  # (B, N, 2)
     dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(2, 3, 4),
@@ -87,7 +94,7 @@ def _warp_patches(x: jnp.ndarray, flow: jnp.ndarray):
         dimension_numbers=dnums,
         slice_sizes=(1, 2, 2, c),
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    ).reshape(b, h, w, 2, 2, c)
+    ).reshape(b, ho, w, 2, 2, c)
 
     wy1 = (fy - fy0)[..., None]  # weight of the +1 row
     wy0 = 1.0 - wy1
@@ -189,51 +196,13 @@ bilinear_warp.defvjp(_bilinear_warp_fwd, _bilinear_warp_bwd)
 def bilinear_warp_rows(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Bilinear warp sampling a frame taller than the output.
 
-    ``x`` is (B, Hf, W, C); ``flow`` is (B, Ho, W, 2) — output row r
-    samples ``x`` at row ``r + flow_y(r)`` with the same independent
-    corner clamping (against Hf) as `bilinear_warp`, which is the
-    special case Ho == Hf. Used by the spatially-sharded path, where the
-    shard's global row offset is folded into ``flow[..., 1]`` (exact for
-    integer offsets: floor/frac are shift-invariant) and ``x`` is the
-    all-gathered full frame. Plain autodiff (gather-transpose scatter) —
-    this is the fallback for `ops.pallas.warped_cv`'s kernels, not a hot
-    path."""
-    b, hf, w, c = x.shape
-    ho = flow.shape[1]
-    fdt = flow.dtype
-    fx = flow[..., 0]
-    fy = flow[..., 1]
-    fx0 = jnp.floor(fx)
-    fy0 = jnp.floor(fy)
-    gy = jnp.arange(ho, dtype=fdt)[None, :, None]
-    gx = jnp.arange(w, dtype=fdt)[None, None, :]
-    y0p = (jnp.clip(gy + fy0, -1, hf - 1) + 1).astype(jnp.int32)
-    x0p = (jnp.clip(gx + fx0, -1, w - 1) + 1).astype(jnp.int32)
-    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    starts = jnp.stack(
-        [y0p.reshape(b, ho * w), x0p.reshape(b, ho * w)], axis=-1
-    )
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    patches = jax.lax.gather(
-        xe,
-        starts,
-        dimension_numbers=dnums,
-        slice_sizes=(1, 2, 2, c),
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    ).reshape(b, ho, w, 2, 2, c)
-    wy1 = (fy - fy0)[..., None]
-    wy0 = 1.0 - wy1
-    wx1 = (fx - fx0)[..., None]
-    wx0 = 1.0 - wx1
-    top = patches[..., 0, 0, :] * wx0 + patches[..., 0, 1, :] * wx1
-    bot = patches[..., 1, 0, :] * wx0 + patches[..., 1, 1, :] * wx1
-    return top * wy0 + bot * wy1
+    ``x`` is (B, Hf, W, C); ``flow`` is (B, Ho, W, 2) — the Ho < Hf case
+    of `_warp_patches` (see its docstring; `bilinear_warp` is Ho == Hf).
+    The row-offset fold is exact for integer offsets: floor/frac are
+    shift-invariant. Plain autodiff (gather-transpose scatter) — this is
+    the fallback for `ops.pallas.warped_cv`'s kernels, not a hot path,
+    and the custom row-scatter VJP's index algebra assumes Ho == Hf."""
+    return _bilinear_warp_impl(x, flow)
 
 
 def warp(x: jnp.ndarray, flow: jnp.ndarray, warp_type: str = "bilinear") -> jnp.ndarray:

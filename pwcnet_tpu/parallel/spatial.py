@@ -329,14 +329,12 @@ def make_spatial_pyramid_level(
 
 
 def _cv_hpad_xla(f0, f1_ext, d):
-    """XLA slice formulation over an H-prepadded f1 (autodiff-friendly)."""
-    b, h, w, c = f0.shape
-    f1p = jnp.pad(f1_ext, ((0, 0), (0, 0), (d, d), (0, 0)))
-    inv_c = jnp.asarray(1.0 / c, f0.dtype)
-    costs = []
-    for v in range(2 * d + 1):
-        for u in range(2 * d + 1):
-            win = jax.lax.slice(f1p, (0, v, u, 0), (b, v + h, u + w, c))
-            costs.append(jnp.sum(f0 * win, axis=3) * inv_c)
-    cv = jnp.stack(costs, axis=3)
-    return jax.nn.leaky_relu(cv, 0.1)
+    """XLA slice formulation over an H-prepadded f1 (autodiff-friendly).
+
+    Delegates to the single implementation of the TF1 cost-volume
+    semantics (zero-pad boundary, vertical-major tap order, LeakyReLU
+    0.1) so the spatial non-Pallas path cannot diverge from the
+    single-chip fallback."""
+    from pwcnet_tpu.ops.pallas.cost_volume import _cv_fwd_xla
+
+    return _cv_fwd_xla(f0, f1_ext, d, h_prepadded=True)

@@ -105,10 +105,21 @@ class TestEstimatorChainFused:
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
             )
 
-    @pytest.mark.parametrize("tile_h", [8, 2])
-    def test_grads_match_xla_chain(self, rng, tile_h):
+    @pytest.mark.parametrize("tile_h,bwd_tile", [(8, 8), (2, 8), (2, 4)])
+    def test_grads_match_xla_chain(self, rng, tile_h, bwd_tile,
+                                   monkeypatch):
         """Both cotangents (flow AND features) through the Pallas gz
-        chain, single- and multi-tile (cross-tile dxin overlap-add)."""
+        chain. The backward tile must be forced to cover the multi-tile
+        backward (bwd_tile=4 -> nt=2): _pick_tile_bwd at h=8 always
+        returns 8, and per-tile gz chains that miss neighbor-tile
+        cotangent contributions corrupt dk1-dk5/db1-db5 at exactly the
+        seams this hides (the round-3 exact-row redesign's regression
+        case: 19-65%% wrong before the fix)."""
+        from pwcnet_tpu.ops.pallas import estimator_conv as ecp
+
+        monkeypatch.setattr(
+            ecp, "_pick_tile_bwd", lambda *a, **k: bwd_tile
+        )
         x = jnp.asarray(
             rng.standard_normal((1, 8, 8, 12)).astype(np.float32)
         )
