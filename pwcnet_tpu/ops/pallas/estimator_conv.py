@@ -68,6 +68,7 @@ from pwcnet_tpu.ops.pallas.pyramid_conv import (
 
 __all__ = ["estimator_chain_fused"]
 
+from pwcnet_tpu.ops.pallas import common
 from pwcnet_tpu.ops.pallas.common import VMEM_BUDGET as _VMEM_BUDGET
 _NCONV = 6  # 5 hidden convs + linear flow conv
 
@@ -750,10 +751,7 @@ def estimator_chain_fused(
     """
     assert len(kbs) == 2 * _NCONV
     b, h, w, cin = xin.shape
-    if not interpret and jax.default_backend() == "cpu":
-        # No Mosaic on CPU — run the kernel in interpreter mode so tests
-        # exercise the same code path the TPU compiles.
-        interpret = True
+    interpret = common.resolve_interpret(interpret)
     couts = [kbs[2 * i].shape[-1] for i in range(_NCONV)]
     itemsize = jnp.dtype(xin.dtype).itemsize
     if tile_h is not None and (

@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pyramid_level_fused"]
 
+from pwcnet_tpu.ops.pallas import common
 from pwcnet_tpu.ops.pallas.common import VMEM_BUDGET as _VMEM_BUDGET
 
 
@@ -911,10 +912,7 @@ def pyramid_level_fused(
     b, h, w, cin = x.shape
     if h % 2 or w % 2:
         return _xla_level(x, k1, b1, k2, b2, k3, b3)
-    if not interpret and jax.default_backend() == "cpu":
-        # No Mosaic on CPU — run the kernel in interpreter mode so tests
-        # exercise the same code path the TPU compiles.
-        interpret = True
+    interpret = common.resolve_interpret(interpret)
     itemsize = jnp.dtype(x.dtype).itemsize
     th = _pick_tile(h, w, cin, k1.shape[-1], itemsize, requested=tile_h)
     if th is None:
