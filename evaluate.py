@@ -47,6 +47,12 @@ def build_parser():
                         help="Crop shape when --size_handling crop")
     parser.add_argument("--num_levels", type=int, default=6)
     parser.add_argument("--search_range", type=int, default=4)
+    parser.add_argument("--warp_type", choices=["bilinear", "nearest"],
+                        default="bilinear",
+                        help="Warping layer (must match training)")
+    parser.add_argument("--use-dc", dest="use_dc", action="store_true")
+    parser.add_argument("--no-dc", dest="use_dc", action="store_false")
+    parser.set_defaults(use_dc=False)
     parser.add_argument("--output_level", type=int, default=4)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32")
@@ -97,6 +103,8 @@ def main(argv=None):
         checkpoint=args.resume,
         num_levels=args.num_levels,
         search_range=args.search_range,
+        warp_type=args.warp_type,
+        use_dc=args.use_dc,
         output_level=args.output_level,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
@@ -122,7 +130,14 @@ def main(argv=None):
                 mode="edge",
             )
         else:
-            batch = images
+            # crop protocol: frames must still be multiples of the
+            # pyramid factor — crop down (top-left anchored, like
+            # FlowPredictor) and score only the evaluated region (e.g.
+            # --crop_type none on 436-row Sintel frames)
+            h = factor * (h // factor)
+            w = factor * (w // factor)
+            batch = images[:, :, :h, :w]
+            flows_gt = flows_gt[:, :h, :w]
         flow_final, _ = predictor.raw_forward(jnp.asarray(batch))
         pred = np.asarray(flow_final, np.float32)[:, :h, :w]
         err = np.linalg.norm(pred - np.asarray(flows_gt, np.float32), axis=-1)
@@ -147,7 +162,12 @@ def main(argv=None):
                 f"{scene_frames[scene]:>8d}"
             )
     grand = sum(scene_sum.values()) / max(sum(scene_px.values()), 1)
-    protocol = "full-frame" if pad_mode else f"center-crop {args.crop_shape}"
+    if pad_mode:
+        protocol = "full-frame"
+    elif args.crop_type == "none":
+        protocol = "factor-crop (no dataset crop)"
+    else:
+        protocol = f"{args.crop_type}-crop {args.crop_shape}"
     print(
         f"{args.dataset}/{args.split} ({protocol}): mean EPE over "
         f"{cursor} frames = {grand:.4f} px"

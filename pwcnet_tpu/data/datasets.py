@@ -296,7 +296,12 @@ class SyntheticFlow(FlowDataset):
         img = np.kron(img, np.ones((4, 4, 1), np.float32))[:h, :w]
         dx = int(rng.integers(-self.max_disp, self.max_disp + 1))
         dy = int(rng.integers(-self.max_disp, self.max_disp + 1))
-        img1 = np.roll(img, shift=(-dy, -dx), axis=(0, 1))
+        # roll by +(dy, dx): img1[p] = img0[p - (dy, dx)], i.e. content
+        # MOVES by +(dy, dx), so the stored forward flow (+dx, +dy)
+        # satisfies the model's warp convention img1(p + flow) = img0(p)
+        # (ops/warp.py; a -(dy, dx) roll here would make the labels
+        # backward flow and the coarse-to-fine warp counterproductive)
+        img1 = np.roll(img, shift=(dy, dx), axis=(0, 1))
         images = np.stack(
             [(img * 255).astype(np.uint8), (img1 * 255).astype(np.uint8)]
         )

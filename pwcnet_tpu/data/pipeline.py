@@ -123,6 +123,10 @@ class DataLoader:
             "hw": native_hw,
             "crop": tuple(crop),
             "crop_type": ds.crop_type,
+            # drawn exactly when the PIL path draws (datasets.__getitem__)
+            # so the per-(epoch, sample) streams stay path-identical
+            "draw_crop": ds.crop_type == "random"
+            and ds.crop_shape is not None,
             "flip": getattr(ds, "random_flip", False),
         }
 
@@ -132,21 +136,29 @@ class DataLoader:
         h, w = cfg["hw"]
         ch, cw = cfg["crop"]
         n = len(idxs)
+        # identical draw sequence to datasets.__getitem__ (y0, x0, then
+        # one uniform per flip axis), so native and PIL runs produce the
+        # same augmentations for the same (seed, epoch, sample)
         rngs = [self._sample_rng(epoch, i) for i in idxs]
-        if cfg["crop_type"] == "random" and (h, w) != (ch, cw):
-            y0s = np.array([r.integers(0, h - ch + 1) for r in rngs])
-            x0s = np.array([r.integers(0, w - cw + 1) for r in rngs])
+        if cfg["draw_crop"]:
+            y0s = np.array([int(r.integers(0, h - ch + 1)) for r in rngs])
+            x0s = np.array([int(r.integers(0, w - cw + 1)) for r in rngs])
         elif cfg["crop_type"] == "center":
             y0s = np.full(n, (h - ch) // 2)
             x0s = np.full(n, (w - cw) // 2)
         else:
             y0s = np.zeros(n, int)
             x0s = np.zeros(n, int)
-        flips = (
-            np.array([r.integers(0, 4) for r in rngs], np.uint8)
-            if cfg["flip"]
-            else np.zeros(n, np.uint8)
-        )
+        if cfg["flip"]:
+            flips = np.array(
+                [
+                    (r.random() < 0.5) | ((r.random() < 0.5) << 1)
+                    for r in rngs
+                ],
+                np.uint8,
+            )
+        else:
+            flips = np.zeros(n, np.uint8)
         samples = [ds.samples[int(i)] for i in idxs]
         return cfg["native"].load_batch(
             samples,
@@ -277,11 +289,17 @@ def device_prefetch(
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()
+    err: list = []
 
     def _producer():
+        # a loader/device_put error must NOT look like a clean
+        # end-of-epoch (a silently truncated epoch corrupts metrics and
+        # the resume cursor): record it and re-raise on the consumer side
         try:
             for batch in iterator:
                 q.put(_put(batch))
+        except BaseException as e:  # noqa: BLE001 — transported, not hidden
+            err.append(e)
         finally:
             q.put(_SENTINEL)
 
@@ -290,5 +308,7 @@ def device_prefetch(
     while True:
         item = q.get()
         if item is _SENTINEL:
+            if err:
+                raise err[0]
             break
         yield item

@@ -105,6 +105,7 @@ class FlowPredictor:
         self.crop_factor = 2**num_levels
         self._params = None
         self._checkpoint = checkpoint
+        self._jit_cache: dict = {}
 
     # -- params -----------------------------------------------------------
     def _init_params(self, h: int, w: int):
@@ -130,12 +131,22 @@ class FlowPredictor:
         return self._params
 
     # -- forward ----------------------------------------------------------
-    @functools.lru_cache(maxsize=8)
     def _jitted(self, h: int, w: int):
+        # per-instance cache: an lru_cache on the (bound) method would
+        # hold a strong ref to self forever (leaking params + compiled
+        # executables in long-lived processes) and share one eviction
+        # budget across every predictor
+        try:
+            return self._jit_cache[(h, w)]
+        except KeyError:
+            pass
+
         def fwd(params, images_0, images_1):
             return self.model.apply({"params": params}, images_0, images_1)
 
-        return jax.jit(fwd)
+        fn = jax.jit(fwd)
+        self._jit_cache[(h, w)] = fn
+        return fn
 
     def __call__(self, image_0: np.ndarray, image_1: np.ndarray):
         """Run on a raw uint8 frame pair.

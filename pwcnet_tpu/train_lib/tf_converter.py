@@ -284,9 +284,10 @@ def load_tf_checkpoint_params(prefix: str | Path, params_template):
 
     converted = convert_tf_checkpoint(prefix)
 
+    import copy
+
     flat_t = jax.tree_util.tree_flatten_with_path(params_template)[0]
     missing, mismatched = [], []
-    out = jax.tree_util.tree_map(lambda x: None, params_template)
 
     def _get(tree, path):
         node = tree
@@ -296,8 +297,6 @@ def load_tf_checkpoint_params(prefix: str | Path, params_template):
                 return None
             node = node[key]
         return node
-
-    import copy
 
     out = copy.deepcopy(params_template)
     for path, leaf in flat_t:

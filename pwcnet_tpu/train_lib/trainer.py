@@ -84,6 +84,7 @@ class Trainer:
     def _build_dataloader(self):
         args = self.args
         dset = get_dataset(args.dataset)
+        seed = int(getattr(args, "seed", 0) or 0)
         data_args = dict(
             dataset_dir=args.dataset_dir,
             origin_size=None,
@@ -92,24 +93,30 @@ class Trainer:
             resize_shape=args.resize_shape,
             resize_scale=args.resize_scale,
             random_flip=getattr(args, "random_flip", False),
+            seed=seed,
         )
         tset = dset(train_or_val="train", **data_args)
         vset = dset(train_or_val="val", **data_args)
         self.image_size = tset.image_size
-        self.num_batches = len(tset.samples) // args.batch_size
-        print(
-            f"Found {len(tset.samples)} samples -> "
-            f"{self.num_batches} mini-batches"
-        )
         loader_args = dict(
             batch_size=args.batch_size,
             num_workers=args.num_workers,
             drop_last=True,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            seed=seed,
         )
         self.tloader = DataLoader(tset, shuffle=True, **loader_args)
         self.vloader = DataLoader(vset, shuffle=False, **loader_args)
+        # per-process batch count (multi-host loaders yield a disjoint
+        # 1/process_count slice — the tqdm total and resume-skip math
+        # must match what THIS process iterates)
+        self.num_batches = len(self.tloader)
+        if self.is_main:
+            print(
+                f"Found {len(tset.samples)} samples -> "
+                f"{self.num_batches} mini-batches/process"
+            )
 
     def _build_model(self):
         args = self.args
@@ -283,12 +290,24 @@ class Trainer:
 
     def _read_cursor(self, ckpt_path):
         import json
+        import re
 
         path = self._cursor_path(ckpt_path)
-        if not os.path.exists(path):
-            return None
-        with open(path) as f:
-            return json.load(f)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        # No sidecar (epoch checkpoints are saved async and cursor-less):
+        # the epoch is in the filename — model_N holds the state AFTER
+        # epoch N, so resume continues at epoch N, batch 0. Without this,
+        # resuming model_N replayed the (seed, epoch)-deterministic
+        # shuffle orders from epoch 0.
+        m = re.fullmatch(
+            r"model_(\d+)(?:\.msgpack)?",
+            os.path.basename(str(ckpt_path).rstrip("/")),
+        )
+        if m:
+            return {"epoch": int(m.group(1)), "batch": 0}
+        return None
 
     def _save_state(
         self, stem: str, wait: bool = True, cursor: dict | None = None

@@ -33,6 +33,9 @@ def build_parser():
                         help="# of levels for feature extraction [6]")
     parser.add_argument("--search_range", type=int, default=4,
                         help="Search range for cost-volume calculation [4]")
+    parser.add_argument("--warp_type", choices=["bilinear", "nearest"],
+                        default="bilinear",
+                        help="Warping layer (must match training)")
     parser.add_argument("--use-dc", dest="use_dc", action="store_true")
     parser.add_argument("--no-dc", dest="use_dc", action="store_false")
     parser.set_defaults(use_dc=False)
@@ -73,6 +76,7 @@ def main(argv=None):
         checkpoint=args.resume,
         num_levels=args.num_levels,
         search_range=args.search_range,
+        warp_type=args.warp_type,
         use_dc=args.use_dc,
         output_level=args.output_level,
         size_handling=args.size_handling,

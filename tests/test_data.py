@@ -136,11 +136,36 @@ class TestSynthetic:
         images, flow = ds[0]
         assert images.shape == (2, 32, 32, 3)
         dx, dy = flow[0, 0, 0], flow[0, 0, 1]
-        # frame1 equals frame0 rolled by (-dy, -dx): interior pixels match
+        # content moves by +(dy, dx): frame1 is frame0 rolled by (dy, dx)
         img0 = images[0].astype(np.int32)
         img1 = images[1].astype(np.int32)
-        rolled = np.roll(img0, shift=(-int(dy), -int(dx)), axis=(0, 1))
+        rolled = np.roll(img0, shift=(int(dy), int(dx)), axis=(0, 1))
         np.testing.assert_array_equal(img1, rolled)
+
+    def test_flow_satisfies_warp_convention(self):
+        """The GT must be FORWARD flow in the model's warp convention —
+        warp(img1, flow) == img0 away from the wrap seam (the round-3
+        review caught the labels sign-inverted, which made the
+        coarse-to-fine warp counterproductive on this dataset)."""
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.ops.warp import bilinear_warp
+
+        ds = SyntheticFlow("train", num_samples=4, image_shape=(32, 32))
+        for i in range(4):
+            images, flow = ds[i]
+            img0 = images[0].astype(np.float32)
+            img1 = images[1].astype(np.float32)
+            warped = np.asarray(
+                bilinear_warp(
+                    jnp.asarray(img1)[None], jnp.asarray(flow)[None]
+                )
+            )[0]
+            d = int(ds.max_disp)
+            # interior: wrap seam and edge clamping excluded
+            np.testing.assert_allclose(
+                warped[d:-d, d:-d], img0[d:-d, d:-d], atol=1e-4
+            )
 
     def test_train_val_disjoint(self):
         tr = SyntheticFlow("train", num_samples=8)
@@ -201,10 +226,11 @@ class TestLoader:
             np.testing.assert_array_equal(ff, tf)
 
     def test_native_augmentation_matches_pil_path(self, tmp_path):
-        """The native C++ assembler draws its crops from the same
-        per-(epoch, sample) generators as the PIL path, so the two paths
-        produce identical crop windows (flip encodings differ by design:
-        one 4-way draw vs two booleans)."""
+        """The native C++ assembler draws crops AND flips from the same
+        per-(epoch, sample) generator sequence as the PIL path, so the
+        two paths produce byte-identical batches — a run preempted on a
+        native host and resumed on a PIL-only host keeps the exact
+        augmentation stream."""
         pytest.importorskip("pwcnet_tpu.data.native")
         from pwcnet_tpu.data import native
 
@@ -212,7 +238,11 @@ class TestLoader:
             pytest.skip("no native toolchain")
         _make_chairs(tmp_path, n=8, hw=(24, 32))
         ds = FlyingChairs(
-            "train", tmp_path, crop_type="random", crop_shape=(16, 20)
+            "train",
+            tmp_path,
+            crop_type="random",
+            crop_shape=(16, 20),
+            random_flip=True,
         )
         fast = DataLoader(
             ds, batch_size=4, shuffle=True, seed=3, use_native=True
