@@ -301,12 +301,14 @@ class TestPredictorShapeCache:
             num_levels=3, search_range=2, output_level=1, use_pallas=False
         )
         a = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
-        b = (rng.random((40, 48, 3)) * 255).astype(np.uint8)
+        b = (rng.random((37, 43, 3)) * 255).astype(np.uint8)
         flow_small, pyr_small, _ = pred(a, a)
         flow_big, pyr_big, _ = pred(b, b)
         assert flow_small.shape == (32, 32, 2)
-        # 40x48 crops to the nearest multiple of 2**3
-        assert flow_big.shape == (40, 48, 2)
+        # 37x43 CROPS down to the nearest multiple of 2**3 (the default
+        # crop size-handling actually runs here, unlike already-aligned
+        # frames)
+        assert flow_big.shape == (32, 40, 2)
         assert len(pyr_small) == 2
 
 

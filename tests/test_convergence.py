@@ -72,7 +72,7 @@ def _full_set_epe(model, state, dset, dtype):
     return float(np.mean(epes))
 
 
-def _warm_start(gen, dset):
+def _warm_start(gen):
     model = PWCDCNet(dtype=jnp.float32, **CFG)
     state = create_train_state(
         model,
@@ -118,7 +118,7 @@ class TestConvergence:
         model (reference --loss robust, fixed NameError)."""
         dset = _dataset()
         gen = _batches(dset)
-        state = _warm_start(gen, dset)
+        state = _warm_start(gen)
         model = PWCDCNet(dtype=jnp.float32, **CFG)
         state, _ = _train(
             model, state, gen, 150, jnp.float32, loss_name="robust"
@@ -132,7 +132,7 @@ class TestConvergence:
         f32 model (from-scratch bf16 stalls — documented above)."""
         dset = _dataset()
         gen = _batches(dset)
-        warm = _warm_start(gen, dset)
+        warm = _warm_start(gen)
         model = PWCDCNet(dtype=jnp.bfloat16, **CFG)
         state = create_train_state(
             model, jax.random.PRNGKey(0), (1, 32, 32, 3),

@@ -174,8 +174,13 @@ class TestPyramidLevelBanded:
         # falls through to auto-planning instead of corrupting the grid
         assert _pick_tile_banded(shape, 16, 4, requested=8) == 8
         assert _pick_tile_banded(shape, 16, 4, requested=5) == auto
-        # store-slot sublane alignment: odd C is banded-ineligible
+        # store-slot sublane alignment (dy*C offsets must be
+        # tile-aligned): C % 16 != 0 is ineligible at bf16 (itemsize 2),
+        # C % 8 != 0 at f32 (itemsize 4); C=16 passes both
         assert _pick_tile_banded(shape, 12, 2) is None
+        assert _pick_tile_banded(shape, 12, 4) is None
+        assert _pick_tile_banded(shape, 24, 2) is None  # 24 % 16
+        assert _pick_tile_banded(shape, 24, 4) is not None  # 24 % 8 == 0
 
 
 class TestModelFusedPyramid:

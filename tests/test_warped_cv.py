@@ -109,7 +109,7 @@ class TestWarpedCostVolume:
         assert np.isfinite(got).all()
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
-    def test_vmem_fallback_path(self, rng):
+    def test_vmem_fallback_path(self, rng, monkeypatch):
         """Shapes whose kernel would not fit VMEM fall back to the
         composed warp -> cost_volume_pallas path (still differentiable)."""
         from pwcnet_tpu.ops.pallas import warped_cv
@@ -119,12 +119,8 @@ class TestWarpedCostVolume:
         f1 = _rand(rng, shape)
         flow = _rand(rng, (1, 8, 8, 2), 1.0)
         want = np.asarray(_composed(f0, f1, flow, d))
-        orig = warped_cv._pick_tile
-        try:
-            warped_cv._pick_tile = lambda *a, **k: None
-            got = np.asarray(warped_cost_volume(f0, f1, flow, d, None, True))
-        finally:
-            warped_cv._pick_tile = orig
+        monkeypatch.setattr(warped_cv, "_pick_tile", lambda *a, **k: None)
+        got = np.asarray(warped_cost_volume(f0, f1, flow, d, None, True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
