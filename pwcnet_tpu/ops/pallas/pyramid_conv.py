@@ -343,6 +343,7 @@ def _pick_tile_banded(shape, c, itemsize, requested=None):
         s1 = 3 * c * (t + 6) * wl * itemsize
         s2 = 3 * c * (t + 4) * wl * itemsize
         out_t = c * t * wl * itemsize
+        # the two in-kernel f32 band masks ((t+4)+(t+2) row blocks)
         masks = (2 * t + 6) * wl * 4
         # f32 dot output + roll copies + pre-cast row block per conv
         temps = 6 * max(c, cin_p) * (t + 4) * wl * 4
@@ -356,15 +357,23 @@ def _pick_tile_banded(shape, c, itemsize, requested=None):
     return None
 
 
-def _band_mask(nt, th, n_rows, off, hh, wh, wl):
-    """(nt, n_rows*wl) f32 per-tile masks for banded-layout row bands:
-    row validity (band block i of tile t is half-res row t*th + i - off,
-    valid iff in [0, hh)) times lane margins (data in lanes 1..wh)."""
-    rows = jnp.arange(nt)[:, None] * th + jnp.arange(n_rows)[None, :] - off
-    rv = ((rows >= 0) & (rows < hh)).astype(jnp.float32)
-    lane = jnp.arange(wl)
-    lv = ((lane >= 1) & (lane <= wh)).astype(jnp.float32)
-    return (rv[:, :, None] * lv[None, None, :]).reshape(nt, n_rows * wl)
+def _band_mask(r0, n_rows, off, hh, wh, wl):
+    """(1, n_rows*wl) f32 band mask, computed IN-KERNEL per tile: row
+    validity (band block i of the tile at half-res row offset ``r0`` is
+    row r0 + i - off, valid iff in [0, hh)) times lane margins (data in
+    lanes 1..wh).
+
+    Rebuilt from a flat iota inside the kernel rather than streamed as a
+    (nt, n_rows*wl) operand because Mosaic rejects the (1, n_rows*wl)
+    per-tile block such an operand needs (a sublane block dim of 1 is
+    neither divisible by 8 nor the full array dim); a handful of VPU
+    int ops per tile is free next to the three MXU dots."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n_rows * wl), 1)
+    blk = idx // wl
+    lane = idx - blk * wl
+    row = blk + (r0 - off)
+    ok = (row >= 0) & (row < hh) & (lane >= 1) & (lane <= wh)
+    return ok.astype(jnp.float32)
 
 
 def _plevel_kernel_banded(
@@ -373,8 +382,6 @@ def _plevel_kernel_banded(
     k2_ref,
     k3_ref,
     bias_ref,
-    m1_ref,
-    m2_ref,
     out_ref,
     s1o_ref,
     s2o_ref,
@@ -384,6 +391,8 @@ def _plevel_kernel_banded(
     sem,
     *,
     th: int,
+    hh: int,
+    wh: int,
     wl: int,
     interpret: bool,
 ):
@@ -405,9 +414,9 @@ def _plevel_kernel_banded(
         padded full-res row 2p+s), so the stride-2 conv1 contracts all
         9 taps in ONE dot with K = 3*CINP. Each grid step DMAs its
         (3*CINP, (TH+4)*WL) lane window.
-    m1/m2_ref: (1, rows*WL) f32 per-tile masks — row validity (vertical
-        SAME zero padding) times lane margins (data in lanes 1..wh),
-        applied by one multiply; built at trace time.
+    Band masks — row validity (vertical SAME zero padding) times lane
+    margins (data in lanes 1..wh) — are rebuilt in-kernel per tile
+    (`_band_mask`) and applied by one multiply.
     s1/s2_ref: (3C, rows*WL) model-dtype scratch, dy-block layout above.
     out_ref: (1, C, TH*WL) tile of the (B, C, HH*WL) output (margins
         stripped and transposed to NHWC on the XLA side).
@@ -443,10 +452,13 @@ def _plevel_kernel_banded(
             return jnp.roll(v, s, axis=1)
         return pltpu.roll(v, s, 1)
 
+    m1 = _band_mask(r0, th + 4, 2, hh, wh, wl)
+    m2 = _band_mask(r0, th + 2, 1, hh, wh, wl)
+
     # ---- conv1: all th+4 output rows in one dot (K = 3*CINP)
     p = jax.lax.dot(k1_ref[...], xw_ref[0], preferred_element_type=f32)
     y = p[:c] + lroll(p[c:], 1)
-    y = _leaky(y + bias_ref[0, :].astype(f32)[:, None]) * m1_ref[...]
+    y = _leaky(y + bias_ref[0, :].astype(f32)[:, None]) * m1
     y = y.astype(s1_ref.dtype)
     if s1o_ref is not None:
         # exact rows r0..r0+th-1 = band blocks 2..th+1: post-activation
@@ -461,7 +473,7 @@ def _plevel_kernel_banded(
         preferred_element_type=f32,
     )
     z = rroll(p[:c], 1) + p[c : 2 * c] + lroll(p[2 * c :], 1)
-    y = _leaky(z + bias_ref[1, :].astype(f32)[:, None]) * m2_ref[...]
+    y = _leaky(z + bias_ref[1, :].astype(f32)[:, None]) * m2
     y = y.astype(s2_ref.dtype)
     if s2o_ref is not None:
         # exact rows = band blocks 1..th
@@ -481,11 +493,11 @@ def _plevel_kernel_banded(
 
 
 def _plevel_kernel_banded_infer(
-    x_any, k1_ref, k2_ref, k3_ref, bias_ref, m1_ref, m2_ref, out_ref,
+    x_any, k1_ref, k2_ref, k3_ref, bias_ref, out_ref,
     xw_ref, s1_ref, s2_ref, sem, **kw,
 ):
     _plevel_kernel_banded(
-        x_any, k1_ref, k2_ref, k3_ref, bias_ref, m1_ref, m2_ref, out_ref,
+        x_any, k1_ref, k2_ref, k3_ref, bias_ref, out_ref,
         None, None, xw_ref, s1_ref, s2_ref, sem, **kw,
     )
 
@@ -520,9 +532,6 @@ def _plevel_forward_banded(
     k3m = _split_kernel(k3, c)
     bias = jnp.stack([b1, b2, b3]).astype(jnp.float32)  # (3, C)
 
-    m1 = _band_mask(nt, th, th + 4, 2, hh, wh, wl)
-    m2 = _band_mask(nt, th, th + 2, 1, hh, wh, wl)
-
     kern = _plevel_kernel_banded if save_acts else _plevel_kernel_banded_infer
     out_specs = [
         pl.BlockSpec(
@@ -535,7 +544,9 @@ def _plevel_forward_banded(
         for _ in range(3 if save_acts else 1)
     ]
     res = pl.pallas_call(
-        functools.partial(kern, th=th, wl=wl, interpret=interpret),
+        functools.partial(
+            kern, th=th, hh=hh, wh=wh, wl=wl, interpret=interpret
+        ),
         grid=(b, nt),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -551,14 +562,6 @@ def _plevel_forward_banded(
             pl.BlockSpec(
                 bias.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (1, (th + 4) * wl), lambda bi, i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, (th + 2) * wl), lambda bi, i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -569,7 +572,7 @@ def _plevel_forward_banded(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x3, k1m, k2m, k3m, bias, m1, m2)
+    )(x3, k1m, k2m, k3m, bias)
     out = res[0].reshape(b, c, hh, wl)[:, :, :, 1 : wh + 1]
     out = jnp.transpose(out, (0, 2, 3, 1))  # NHWC
     if save_acts:
@@ -610,7 +613,6 @@ def _plevel_bwd_kernel_banded(
     k1t_ref,
     k2t_ref,
     k3t_ref,
-    mb_ref,
     gz1_ref,
     gz2_ref,
     gz3_ref,
@@ -622,6 +624,8 @@ def _plevel_bwd_kernel_banded(
     sems,
     *,
     th: int,
+    hh: int,
+    wh: int,
     wl: int,
     interpret: bool,
 ):
@@ -638,9 +642,10 @@ def _plevel_bwd_kernel_banded(
         of padding each side; s1/s2 are the banded forward's saved
         post-activation residuals (exact zeros in margins and invalid
         rows, so LeakyReLU sign masks and roll wraps stay clean).
-    mb_ref: (1, (TH+4)*WL) row-validity x lane-margin mask (off=2), the
+    The (1, (TH+4)*WL) row-validity x lane-margin mask (off=2) — the
         banded analogue of the row backward's `valid` gating: conv2's
-        vertical-SAME zero rows must not leak gradient.
+        vertical-SAME zero rows must not leak gradient — is rebuilt
+        in-kernel per tile (`_band_mask`).
     dxp_ref: (1, 3*CINP, TH*WL) dx in the forward's 3-row-phase-plane
         H-space-to-depth layout, plane block p' = plane index p-2. Each
         x3 plane entry feeds exactly ONE conv1 output row, so per-tile
@@ -697,13 +702,15 @@ def _plevel_bwd_kernel_banded(
         cc = v.shape[0] // 3
         return lroll(v[:cc], wl) + v[cc : 2 * cc] + rroll(v[2 * cc :], wl)
 
+    mb = _band_mask(r0, th + 4, 2, hh, wh, wl)
+
     # ---- conv3 backward
     gz3 = gw_ref[0].astype(f32) * leaky_mask(ow_ref[0].astype(f32))
     gz3_ref[0] = gz3[:, 2 * wl : (2 + th) * wl].astype(gz3_ref.dtype)
     ds2 = chain_stage(gz3, k3t_ref)
 
     # ---- conv2 backward (mask: vertical-SAME rows carry no gradient)
-    gz2 = ds2 * leaky_mask(s2w_ref[0].astype(f32)) * mb_ref[...]
+    gz2 = ds2 * leaky_mask(s2w_ref[0].astype(f32)) * mb
     gz2_ref[0] = gz2[:, 2 * wl : (2 + th) * wl].astype(gz2_ref.dtype)
     ds1 = chain_stage(gz2, k2t_ref)
 
@@ -713,7 +720,7 @@ def _plevel_bwd_kernel_banded(
     # or rroll(gz1, 1) leaks them into lane 1's K1 tap (= full col 0).
     gz1 = (ds1 * leaky_mask(s1w_ref[0].astype(f32)))[
         :, 2 * wl : (2 + th) * wl
-    ] * mb_ref[:, 2 * wl : (2 + th) * wl]
+    ] * mb[:, 2 * wl : (2 + th) * wl]
     gz1_ref[0] = gz1.astype(gz1_ref.dtype)
     dp = jnp.concatenate([gz1, rroll(gz1, 1)], axis=0)
     v = jax.lax.dot(k1t_ref[...], dp, preferred_element_type=f32)
@@ -772,11 +779,15 @@ def _plevel_bwd_banded(
     k1t = jnp.transpose(_split_kernel(_remap_k1(k1), cin_p))  # (3CINP, 2C)
     k2t = jnp.transpose(_split_kernel(k2, c))  # (3C, 3C)
     k3t = jnp.transpose(_split_kernel(k3, c))
-    mb = _band_mask(nt, th, th + 4, 2, hh, wh, wl)
 
     gz1, gz2, gz3, dxp = pl.pallas_call(
         functools.partial(
-            _plevel_bwd_kernel_banded, th=th, wl=wl, interpret=interpret
+            _plevel_bwd_kernel_banded,
+            th=th,
+            hh=hh,
+            wh=wh,
+            wl=wl,
+            interpret=interpret,
         ),
         grid=(b, nt),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
@@ -789,10 +800,6 @@ def _plevel_bwd_banded(
             ),
             pl.BlockSpec(
                 k3t.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, (th + 4) * wl), lambda bi, i: (i, 0),
-                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
@@ -815,7 +822,7 @@ def _plevel_bwd_banded(
         scratch_shapes=[pltpu.VMEM((1, c, (th + 4) * wl), x.dtype)] * 4
         + [pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
-    )(gb, ob, s1f, s2f, k1t, k2t, k3t, mb)
+    )(gb, ob, s1f, s2f, k1t, k2t, k3t)
 
     # ---- dx: un-H-s2d the 3 row-phase planes (plane p = block + 2;
     # padded full-res row 2p from plane0[p] + plane2[p-1], row 2p+1 from
