@@ -250,6 +250,80 @@ class TestConverterCLI:
 
 
 class TestEndToEndModelConversion:
+    @pytest.mark.slow
+    def test_full_depth_bundle_convert_forward_matches_oracle(
+        self, tmp_path, rng
+    ):
+        """The composed parity chain at PRODUCTION config (VERDICT r3 #1):
+        write a full-depth 110-tensor TF bundle with the independent
+        writer, run bundle -> converter -> PWCDCNet.apply at 64x64, and
+        assert allclose against the NumPy oracle on the SAME converted
+        params. Fails if ANY of converter name-map, tensor layout, or
+        model wiring drifts — the strongest provable substitute for the
+        reference's stripped .data blobs (reference model.py:95-132,
+        SURVEY.md §3.5)."""
+        import jax
+        import jax.numpy as jnp
+
+        import oracles
+        from pwcnet_tpu.models import PWCDCNet
+
+        model = PWCDCNet()  # num_levels=6, output_level=4, search_range=4
+        imgs = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), imgs, imgs)["params"]
+
+        # Fresh random weights in TF naming — variance-scaled so the
+        # 18-conv pyramid + 6-conv estimators keep activations finite.
+        tensors = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(template)[0]:
+            name = "pwcdcnet/" + "/".join(k.key for k in path)
+            shape = np.shape(leaf)
+            std = (
+                1.0 / np.sqrt(np.prod(shape[:3]))
+                if len(shape) == 4
+                else 0.05
+            )
+            tensors[name] = (rng.standard_normal(shape) * std).astype(
+                np.float32
+            )
+        # the ckpt-verified production tree: exactly 110 model tensors
+        assert len(tensors) == 110
+        for n, shape in _expected_model_shapes().items():
+            assert n in tensors and tensors[n].shape == shape, n
+        # distractors the real bundles carry — must be skipped
+        tensors["pwcdcnet/context/conv2d/bias/Adam"] = np.ones(
+            128, np.float32
+        )
+        tensors["pwcdcnet/context/conv2d/bias/Adam_1"] = np.ones(
+            128, np.float32
+        )
+        tensors["beta1_power"] = np.array(0.9, np.float32)
+        tensors["beta2_power"] = np.array(0.999, np.float32)
+        tensors["Variable"] = np.array(600.0, np.float32)
+
+        prefix = _write_bundle(tmp_path, tensors)
+        loaded = tfc.load_tf_checkpoint_params(prefix, template)
+
+        images_0 = rng.random((1, 64, 64, 3)).astype(np.float32)
+        images_1 = rng.random((1, 64, 64, 3)).astype(np.float32)
+        flows_jax, pyramid_jax = model.apply(
+            {"params": loaded},
+            jnp.asarray(images_0),
+            jnp.asarray(images_1),
+        )
+        params_np = jax.tree_util.tree_map(np.asarray, loaded)
+        flows_np, pyramid_np = oracles.pwcdcnet_forward(
+            params_np, images_0, images_1
+        )
+        assert len(pyramid_jax) == len(pyramid_np) == 5
+        for l, (a, b) in enumerate(zip(pyramid_jax, pyramid_np)):
+            np.testing.assert_allclose(
+                np.asarray(a), b, rtol=1e-4, atol=1e-5, err_msg=f"level {l}"
+            )
+        np.testing.assert_allclose(
+            np.asarray(flows_jax), flows_np, rtol=1e-4, atol=1e-4
+        )
+
     def test_full_tiny_model_roundtrip(self, tmp_path, rng):
         """Write a complete TF-named bundle for a tiny PWCDCNet, convert,
         load into the flax model, and run a forward pass with it."""
