@@ -11,9 +11,10 @@ inferred from its call sites (/root/reference/train.py:27-41,121-123):
 - ``__getitem__`` -> ``(images, flow)`` with images (2, H, W, 3) uint8 and
   flow (H, W, 2) float32 in pixels.
 
-Augmentation: optional resize (by shape or scale; flow magnitudes are
-rescaled accordingly), crop, optional random horizontal/vertical flip
-(flow components negated on the flipped axis).
+Augmentation: optional raw-size normalization (``origin_size``), optional
+resize (by shape or scale; flow magnitudes are rescaled accordingly),
+crop, optional random horizontal/vertical flip (flow components negated
+on the flipped axis).
 
 On-disk layouts:
 - Sintel:   <dir>/training/{clean|final}/<scene>/frame_XXXX.png and
@@ -100,7 +101,16 @@ class FlowDataset:
         assert train_or_val in ("train", "val"), train_or_val
         self.train_or_val = train_or_val
         self.dataset_dir = Path(dataset_dir)
-        self.origin_size = origin_size
+        # origin_size: normalize raw frames to (H, W) before any other
+        # augmentation (resize/crop/flip); flow magnitudes are rescaled
+        # with the frames. The reference always passes None
+        # (train.py:29) — the kwarg's semantics live in the absent
+        # datahandler submodule, re-created here as raw-size
+        # normalization (the only reading that makes `origin_` coherent
+        # alongside the separate resize_shape/resize_scale kwargs).
+        self.origin_size = (
+            tuple(origin_size) if origin_size is not None else None
+        )
         self.crop_type = crop_type
         self.crop_shape = tuple(crop_shape) if crop_shape is not None else None
         self.resize_shape = (
@@ -132,7 +142,7 @@ class FlowDataset:
             return tuple(self.crop_shape)
         if self.resize_shape is not None:
             return tuple(self.resize_shape)
-        h, w = self._native_size()
+        h, w = self.origin_size or self._native_size()
         if self.resize_scale is not None:
             return (int(h * self.resize_scale), int(w * self.resize_scale))
         return (h, w)
@@ -157,6 +167,9 @@ class FlowDataset:
         if rng is None:
             rng = self._rng
         images, flow = self._load_raw(idx)
+
+        if self.origin_size is not None:
+            images, flow = _resize_pair(images, flow, self.origin_size)
 
         if self.resize_shape is not None:
             images, flow = _resize_pair(images, flow, self.resize_shape)

@@ -95,6 +95,7 @@ class DataLoader:
             or len(samples[0]) != 3
             or not str(samples[0][0]).endswith(".ppm")
             or not str(samples[0][2]).endswith(".flo")
+            or getattr(ds, "origin_size", None) is not None
             or getattr(ds, "resize_shape", None) is not None
             or getattr(ds, "resize_scale", None) is not None
         ):

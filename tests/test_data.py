@@ -112,6 +112,44 @@ class TestAugmentation:
         np.testing.assert_allclose(flow[..., 0], 2.0, atol=1e-4)
         np.testing.assert_allclose(flow[..., 1], -1.0, atol=1e-4)
 
+    def test_origin_size_resizes_raw_frames_and_rescales_flow(
+        self, tmp_path
+    ):
+        """origin_size normalizes the RAW frame size before crop: frames
+        resample to (H, W) and flow magnitudes rescale per axis."""
+        _make_sintel(tmp_path, scenes=("a",), frames=2)
+        flo = tmp_path / "training" / "flow" / "a" / "frame_0001.flo"
+        const = np.empty((36, 48, 2), np.float32)
+        const[..., 0], const[..., 1] = 4.0, -2.0
+        save_flow(flo, const)
+        ds = SintelClean(
+            "train",
+            tmp_path,
+            origin_size=(72, 24),  # H x2, W /2
+            crop_type="none",
+            crop_shape=None,
+        )
+        assert ds.image_size == (72, 24)
+        images, flow = ds[0]
+        assert images.shape == (2, 72, 24, 3)
+        np.testing.assert_allclose(flow[..., 0], 2.0, atol=1e-4)
+        np.testing.assert_allclose(flow[..., 1], -4.0, atol=1e-4)
+
+    def test_origin_size_applies_before_crop(self, tmp_path):
+        """crop_shape larger than the native frames is satisfiable after
+        origin_size upscaling — proving the resize happens first."""
+        _make_sintel(tmp_path, scenes=("a",), frames=2)
+        ds = SintelClean(
+            "train",
+            tmp_path,
+            origin_size=(72, 96),
+            crop_type="random",
+            crop_shape=(64, 64),  # > native (36, 48)
+        )
+        images, flow = ds[0]
+        assert images.shape == (2, 64, 64, 3)
+        assert flow.shape == (64, 64, 2)
+
     def test_flip_negates_flow(self):
         """Falsifiable flip check: force each flip via the per-call rng
         and compare against the unflipped sample — images reverse along
