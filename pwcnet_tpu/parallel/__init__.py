@@ -9,6 +9,7 @@ from pwcnet_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     put_global,
+    replicate,
     replicated_sharding,
     shard_batch,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "put_global",
+    "replicate",
     "replicated_sharding",
     "shard_batch",
 ]

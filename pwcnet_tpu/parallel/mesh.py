@@ -23,6 +23,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
+    "replicate",
     "shard_batch",
     "put_global",
 ]
@@ -63,6 +64,25 @@ def batch_sharding(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedShardi
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def replicate(tree, mesh: Mesh):
+    """Pin a pytree (e.g. the TrainState) replicated onto the mesh.
+
+    Explicitly placing the state (instead of letting GSPMD infer it from
+    single-device inputs) keeps the train step's SPMD log free of
+    involuntary-rematerialization reshardings on data x spatial meshes.
+    Multi-process: each process holds the identical full value, so the
+    global array is assembled from the process-local copy."""
+    rep = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            rep, np.asarray(x)
+        ),
+        tree,
+    )
 
 
 def put_global(x, sharding: NamedSharding):
