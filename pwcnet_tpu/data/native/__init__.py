@@ -2,8 +2,9 @@
 
 The shared library is built lazily with g++ on first use and cached next to
 the source. All functionality has a pure-Python fallback in
-`pwcnet_tpu.data.datasets`; this module only accelerates the PPM/.flo hot
-path (FlyingChairs-style datasets) with a threaded C++ batch assembler.
+`pwcnet_tpu.data.datasets`; this module accelerates the image/.flo hot path
+— PPM (FlyingChairs) and 8-bit non-interlaced PNG (Sintel) decode — with a
+threaded C++ batch assembler.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ class NativeUnavailable(RuntimeError):
 
 
 def _build() -> None:
-    cmd = [
+    base = [
         "g++",
         "-O3",
         "-march=native",
@@ -39,11 +40,17 @@ def _build() -> None:
         "-o",
         str(_LIB),
     ]
-    proc = subprocess.run(cmd, capture_output=True, text=True)
-    if proc.returncode != 0:
-        raise NativeUnavailable(
-            f"g++ build failed:\n{proc.stderr[-2000:]}"
-        )
+    # PNG IDAT inflate: prefer libdeflate (2.1x faster than zlib on the
+    # Sintel-frame benchmark, scripts/bench_host.py); fall back to zlib
+    # where libdeflate headers are absent.
+    attempts = [base + ["-DUSE_LIBDEFLATE", "-ldeflate"], base + ["-lz"]]
+    errors = []
+    for cmd in attempts:
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode == 0:
+            return
+        errors.append(proc.stderr[-1000:])
+    raise NativeUnavailable("g++ build failed:\n" + "\n---\n".join(errors))
 
 
 def load_library():
@@ -95,6 +102,20 @@ def available() -> bool:
         return True
     except NativeUnavailable:
         return False
+
+
+def image_size(path: str) -> tuple[int, int]:
+    """(H, W) of a PPM/PNG frame via the native decoder; raises IOError
+    for formats it cannot decode (the loader's decodability probe)."""
+    lib = load_library()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.pwc_image_size(
+        str(path).encode(), ctypes.byref(h), ctypes.byref(w)
+    )
+    if rc != 0:
+        raise IOError(f"pwc_image_size({path}) failed with code {rc}")
+    return (h.value, w.value)
 
 
 def read_flo(path: str, max_hw: tuple[int, int] = (4096, 4096)) -> np.ndarray:

@@ -84,7 +84,11 @@ class DataLoader:
 
     def _native_setup(self, use_native):
         """Enable the C++ batch assembler when the dataset qualifies:
-        PPM/.flo sample triples, no resize, uniform frame size."""
+        PPM- or PNG-backed /.flo sample triples, no resize, uniform frame
+        size. The first frame is probe-decoded natively so PNG variants
+        the from-scratch reader does not support (16-bit, palette,
+        interlaced) fall back to the PIL path up front instead of failing
+        mid-epoch."""
         if not use_native or not self.normalize:
             return None
         ds = self.dataset
@@ -93,7 +97,7 @@ class DataLoader:
             not samples
             or not isinstance(samples[0], tuple)
             or len(samples[0]) != 3
-            or not str(samples[0][0]).endswith(".ppm")
+            or not str(samples[0][0]).lower().endswith((".ppm", ".png"))
             or not str(samples[0][2]).endswith(".flo")
             or getattr(ds, "origin_size", None) is not None
             or getattr(ds, "resize_shape", None) is not None
@@ -101,14 +105,15 @@ class DataLoader:
         ):
             if use_native is True:
                 raise ValueError(
-                    "use_native=True but dataset is not PPM/.flo-backed "
-                    "or uses resize"
+                    "use_native=True but dataset is not PPM/PNG +.flo-"
+                    "backed or uses resize"
                 )
             return None
         try:
             from pwcnet_tpu.data import native
 
             native.load_library()
+            native.image_size(samples[0][0])  # decodability probe
         except Exception:
             if use_native is True:
                 raise

@@ -354,15 +354,53 @@ class TestNativeLoaderPath:
         np.testing.assert_allclose(fi, si, atol=1e-6)
         np.testing.assert_allclose(ff, sf, atol=1e-6)
 
-    def test_native_rejected_for_png_dataset(self, tmp_path):
+    def test_sintel_png_uses_native_and_matches_python(self, tmp_path):
+        """Sintel (PNG on disk) takes the C++ fast path since round 4
+        and must produce byte-identical batches to the PIL path."""
+        pytest.importorskip("pwcnet_tpu.data.native")
+        from pwcnet_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no native toolchain")
         _make_sintel(tmp_path)
+        ds = SintelClean(
+            "train", tmp_path, crop_type="random", crop_shape=(24, 32),
+            random_flip=True,
+        )
+        fast = DataLoader(
+            ds, batch_size=2, shuffle=True, seed=5, use_native=True
+        )
+        slow = DataLoader(
+            ds, batch_size=2, shuffle=True, seed=5, use_native=False
+        )
+        assert fast._native is not None
+        for (fi, ff), (si, sf) in zip(fast, slow):
+            np.testing.assert_allclose(fi, si, atol=1e-6)
+            np.testing.assert_allclose(ff, sf, atol=1e-6)
+
+    def test_native_falls_back_for_unsupported_png(self, tmp_path):
+        """A dataset whose frames the from-scratch PNG reader cannot
+        decode (palette mode) fails the probe and falls back to PIL."""
+        pytest.importorskip("pwcnet_tpu.data.native")
+        from pwcnet_tpu.data import native
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        from PIL import Image
+
+        _make_sintel(tmp_path, scenes=("a",), frames=3)
+        for p in (tmp_path / "training" / "clean" / "a").glob("*.png"):
+            Image.open(p).convert("P").save(p)
         ds = SintelClean(
             "train", tmp_path, crop_type="random", crop_shape=(24, 32)
         )
         loader = DataLoader(ds, batch_size=2, use_native="auto")
         assert loader._native is None
-        with pytest.raises(ValueError):
+        with pytest.raises(IOError):
             DataLoader(ds, batch_size=2, use_native=True)
+        # and the PIL path still yields batches
+        images, flows = next(iter(loader))
+        assert images.shape == (2, 2, 24, 32, 3)
 
     def test_native_full_epoch_batch_count(self, tmp_path):
         pytest.importorskip("pwcnet_tpu.data.native")
