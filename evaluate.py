@@ -60,6 +60,9 @@ def build_parser():
     parser.add_argument("--pallas", dest="pallas", action="store_true")
     parser.add_argument("--no-pallas", dest="pallas", action="store_false")
     parser.set_defaults(pallas=None)  # auto: on for TPU
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="Shard the frame's H axis over N devices "
+                        "(multi-chip serving) [1]")
     return parser
 
 
@@ -109,6 +112,7 @@ def main(argv=None):
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         use_pallas=use_pallas,
         size_handling=args.size_handling,
+        spatial=args.spatial,
     )
     factor = 2**args.num_levels
 

@@ -56,27 +56,72 @@ class FlowPredictor:
         fused_pyramid: str | int = "auto",
         fused_estimator: str | int = "auto",
         size_handling: str = "crop",
+        spatial: int = 1,
+        data: int = 1,
+        mesh=None,
     ):
         """``size_handling``: how non-multiple-of-2**num_levels frames are
         made jit-shaped — 'crop' (reference behavior: top-left factor
         crop, test.py:13-17) or 'pad' (edge-replicate up to the next
         multiple and crop the output flow back, keeping every input
-        pixel — useful for full-frame Sintel eval at 436 rows)."""
+        pixel — useful for full-frame Sintel eval at 436 rows).
+
+        ``spatial``/``data``/``mesh``: multi-chip serving. ``spatial=N``
+        shards the frame's H axis over N devices (activations — the HBM
+        cost at large frames — are split N ways, so frames whose
+        activations OOM one chip become servable); ``data=M`` shards the
+        batch. Either builds a (data x spatial) mesh over the first
+        data*spatial devices, or pass a prebuilt mesh with those axis
+        names. The flow field is bit-equivalent to single-device serving
+        (tests/test_spatial.py::TestSpatialServing)."""
         if size_handling not in ("crop", "pad"):
             raise ValueError(f"size_handling must be crop|pad: {size_handling!r}")
         self.size_handling = size_handling
         if use_pallas == "auto":
             use_pallas = jax.devices()[0].platform not in ("cpu",)
-        cv_fn = warp_cv_fn = None
-        if use_pallas:
+        if mesh is None and (spatial > 1 or data > 1):
+            from pwcnet_tpu.parallel import make_mesh
+
+            n = data * spatial
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"data({data}) x spatial({spatial}) needs {n} devices, "
+                    f"have {len(jax.devices())}"
+                )
+            mesh = make_mesh(jax.devices()[:n], data=data, spatial=spatial)
+        self.mesh = mesh
+        spatial_on = mesh is not None and mesh.shape.get("spatial", 1) > 1
+        cv_fn = warp_cv_fn = plevel_fn = guard_fn = None
+        if use_fused == "auto":
+            use_fused = bool(use_pallas) and warp_type == "bilinear"
+        if spatial_on:
+            # explicit shard_map serving path: fused Pallas kernels run
+            # per H-shard with ppermute halo exchange / all-gathered
+            # frame-1 (GSPMD cannot partition a pallas_call); XLA
+            # formulations inside the same shard_map when use_pallas=False
+            from pwcnet_tpu.parallel import (
+                make_spatial_cost_volume,
+                make_spatial_guard,
+                make_spatial_pyramid_level,
+                make_spatial_warped_cv,
+            )
+
+            cv_fn = make_spatial_cost_volume(mesh, use_pallas=use_pallas)
+            if use_fused:
+                warp_cv_fn = make_spatial_warped_cv(mesh, use_pallas=use_pallas)
+            if use_pallas:
+                plevel_fn = make_spatial_pyramid_level(mesh)
+            # keeps tiny levels spatially unsharded (halo/collective
+            # overhead outweighs their compute; also the gradient-side
+            # GSPMD guard, moot for forward-only serving)
+            guard_fn = make_spatial_guard(mesh)
+        elif use_pallas:
             from pwcnet_tpu.ops.pallas import (
                 cost_volume_pallas,
                 warped_cost_volume,
             )
 
             cv_fn = cost_volume_pallas
-            if use_fused == "auto":
-                use_fused = warp_type == "bilinear"
             if use_fused:
                 warp_cv_fn = warped_cost_volume
         if fused_pyramid == "auto":
@@ -98,8 +143,12 @@ class FlowPredictor:
             dtype=dtype,
             cost_volume_fn=cv_fn,
             warp_cv_fn=warp_cv_fn,
+            pyramid_level_fn=plevel_fn,
+            spatial_guard_fn=guard_fn,
             fused_pyramid_levels=int(fused_pyramid),
-            fused_estimator_levels=int(fused_estimator),
+            fused_estimator_levels=(
+                0 if spatial_on else int(fused_estimator)
+            ),
         )
         self.num_levels = num_levels
         self.crop_factor = 2**num_levels
@@ -127,8 +176,32 @@ class FlowPredictor:
 
     def params_for(self, h: int, w: int):
         if self._params is None:
-            self._params = self._init_params(h, w)
+            params = self._init_params(h, w)
+            if self.mesh is not None:
+                # params live replicated on every mesh device (pinning
+                # them avoids per-call GSPMD resharding of the weights)
+                from pwcnet_tpu.parallel import replicate
+
+                params = replicate(params, self.mesh)
+            self._params = params
         return self._params
+
+    def _put(self, images):
+        """Place a (B, H, W, 3) device input under the serving mesh's
+        layout: H over 'spatial', batch over 'data' when it divides."""
+        if self.mesh is None:
+            return jnp.asarray(images)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        b_axis = (
+            "data"
+            if self.mesh.shape.get("data", 1) > 1
+            and images.shape[0] % self.mesh.shape["data"] == 0
+            else None
+        )
+        s_axis = "spatial" if self.mesh.shape.get("spatial", 1) > 1 else None
+        sharding = NamedSharding(self.mesh, P(b_axis, s_axis, None, None))
+        return jax.device_put(jnp.asarray(images), sharding)
 
     # -- forward ----------------------------------------------------------
     def _jitted(self, h: int, w: int):
@@ -170,7 +243,7 @@ class FlowPredictor:
         params = self.params_for(h, w)
         fwd = self._jitted(h, w)
         flow_final, pyramid = fwd(
-            params, jnp.asarray(images[None, 0]), jnp.asarray(images[None, 1])
+            params, self._put(images[None, 0]), self._put(images[None, 1])
         )
         pyramid_px = [
             np.asarray(f[0], np.float32) * (20.0 / 2 ** (self.num_levels - l))
@@ -187,7 +260,7 @@ class FlowPredictor:
         h, w = images.shape[2], images.shape[3]
         params = self.params_for(h, w)
         fwd = self._jitted(h, w)
-        return fwd(params, images[:, 0], images[:, 1])
+        return fwd(params, self._put(images[:, 0]), self._put(images[:, 1]))
 
     # -- pipelined sequence inference -------------------------------------
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
@@ -256,7 +329,7 @@ class FlowPredictor:
             params = self.params_for(h, w)
             fwd = self._jitted(h, w)
             out = fwd(
-                params, jnp.asarray(imgs[:-1]), jnp.asarray(imgs[1:])
+                params, self._put(imgs[:-1]), self._put(imgs[1:])
             )  # asynchronous dispatch — no host sync here
             flow_final, pyramid = out
             # start the device->host transfers behind the compute

@@ -79,6 +79,12 @@ class PWCDCNet(nn.Module):
     # override for the fused level chain (e.g. the shard_map spatial
     # wrapper, parallel.make_spatial_pyramid_level)
     pyramid_level_fn: Any = None
+    # spatial-sharding guard (parallel.make_spatial_guard): constrains
+    # too-small pyramid levels to be spatially UNSHARDED. Required for
+    # correct gradients on (data x spatial) meshes: XLA's SPMD
+    # partitioner miscompiles the input-gradient of 3x3 convs on 2x2
+    # feature maps H-sharded at 1 row/shard (see parallel/spatial.py).
+    spatial_guard_fn: Any = None
 
     def setup(self):
         assert self.output_level < self.num_levels, (
@@ -105,6 +111,7 @@ class PWCDCNet(nn.Module):
             precision=self.precision,
             fused_levels=self.fused_pyramid_levels,
             level_fn=self.pyramid_level_fn,
+            level_guard_fn=self.spatial_guard_fn,
             name="fp_extractor",
         )
         # Estimators for every level are declared (like the reference's
@@ -148,6 +155,7 @@ class PWCDCNet(nn.Module):
           (deep -> output level).
         """
         cv_fn = self.cost_volume_fn or cost_volume
+        guard = self.spatial_guard_fn or (lambda x, min_rows=4: x)
         pyramid_0 = self.fp_extractor(images_0)
         pyramid_1 = self.fp_extractor(images_1)
         scales = self.scales
@@ -155,6 +163,13 @@ class PWCDCNet(nn.Module):
         flows_pyramid = []
         flows_up = features_up = None
         for l, (f0, f1) in enumerate(zip(pyramid_0, pyramid_1)):
+            # keep tiny levels (and everything computed from them — the
+            # estimator convs below) spatially unsharded; see
+            # spatial_guard_fn docstring
+            f0, f1 = guard(f0), guard(f1)
+            if flows_up is not None:
+                flows_up = guard(flows_up)
+                features_up = guard(features_up)
             if l == 0:
                 cv = cv_fn(f0, f1, self.search_range)
             elif self.warp_cv_fn is not None:
@@ -166,7 +181,7 @@ class PWCDCNet(nn.Module):
                 cv = cv_fn(f0, f1_warped, self.search_range)
 
             flows, features = self.of_estimators[l](
-                cv, f0, flows_up, features_up
+                guard(cv), f0, flows_up, features_up
             )
             if l < self.output_level:
                 flows_up = upsample2x_bilinear(flows)

@@ -67,6 +67,11 @@ class FeaturePyramidExtractor(nn.Module):
     # shard_map wrapper (parallel.make_spatial_pyramid_level); same
     # (x, k1, b1, k2, b2, k3, b3) signature as pyramid_level_fused
     level_fn: Any = None
+    # spatial-sharding guard (parallel.make_spatial_guard): unshards a
+    # level's input when the level's OUTPUT (input H / 2) would hold
+    # fewer than 4 rows per spatial shard — GSPMD miscompiles tiny-level
+    # conv gradients on (data x spatial) meshes (parallel/spatial.py)
+    level_guard_fn: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> list[jnp.ndarray]:
@@ -74,6 +79,8 @@ class FeaturePyramidExtractor(nn.Module):
         pyramid = []
         idx = 0
         for level in range(self.num_levels):
+            if self.level_guard_fn is not None:
+                x = self.level_guard_fn(x, 8)
             # the fused kernel always multiplies model-dtype operands with
             # f32 accumulation; an explicit `precision` request (e.g.
             # 'highest') must keep the nn.Conv path so it takes effect

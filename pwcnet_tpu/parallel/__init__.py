@@ -2,6 +2,7 @@
 
 from pwcnet_tpu.parallel.spatial import (
     make_spatial_cost_volume,
+    make_spatial_guard,
     make_spatial_pyramid_level,
     make_spatial_warped_cv,
 )
@@ -16,6 +17,7 @@ from pwcnet_tpu.parallel.mesh import (
 
 __all__ = [
     "make_spatial_cost_volume",
+    "make_spatial_guard",
     "make_spatial_pyramid_level",
     "make_spatial_warped_cv",
     "make_mesh",

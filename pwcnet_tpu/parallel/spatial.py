@@ -30,7 +30,60 @@ __all__ = [
     "make_spatial_cost_volume",
     "make_spatial_warped_cv",
     "make_spatial_pyramid_level",
+    "make_spatial_guard",
 ]
+
+# Minimum rows per spatial shard below which activations are constrained
+# to be spatially UNSHARDED (see make_spatial_guard).
+MIN_ROWS_PER_SHARD = 4
+
+
+def make_spatial_guard(mesh: Mesh, axis: str = "spatial",
+                       batch_axis: str = "data"):
+    """Constraint fn that spatially unshards too-small feature maps.
+
+    Returns ``guard(x, min_rows=4)``: inside jit, constrains NHWC ``x``
+    to a data-only sharding when its H would hold fewer than ``min_rows``
+    rows per spatial shard (or does not divide the axis). Two reasons:
+
+    1. **Correctness**: XLA's SPMD partitioner (jax 0.9.0) miscompiles
+       the *input-gradient* of a 3x3 SAME convolution on a 2x2 feature
+       map H-sharded at 1 row/shard over a multi-axis (data x spatial)
+       mesh — the forward is exact but d(loss)/d(input) comes out wrong
+       by O(1) (minimal repro in tests/test_spatial.py::
+       TestTinyLevelGuard; the partitioner logs "Involuntary full
+       rematerialization", cf. XLA b/433785288). Coarse pyramid levels
+       of small frames (e.g. the 2x2 level-4 of a 64x64 dryrun) hit
+       exactly that; keeping them spatially unsharded sidesteps the
+       miscompile.
+    2. **Efficiency**: a level with a handful of rows gains nothing from
+       H-sharding — the halo/collective overhead and the involuntary
+       reshards cost more than the compute; replicating a few-KB tensor
+       per data shard is free.
+
+    Outside jit (e.g. eager ``model.init``) the guard is a no-op, so
+    parameter initialization never touches the mesh.
+    """
+    n_shards = mesh.shape[axis]
+
+    def guard(x, min_rows: int = MIN_ROWS_PER_SHARD):
+        if n_shards == 1 or not isinstance(x, jax.core.Tracer):
+            return x
+        h = x.shape[1]
+        if h % n_shards == 0 and h // n_shards >= min_rows:
+            return x
+        b_axis = (
+            batch_axis
+            if batch_axis in mesh.shape
+            and x.shape[0] % mesh.shape[batch_axis] == 0
+            else None
+        )
+        spec = P(*([b_axis] + [None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, jax.sharding.NamedSharding(mesh, spec)
+        )
+
+    return guard
 
 
 def _resolve_interpret(interpret):
@@ -62,8 +115,13 @@ def make_spatial_cost_volume(
         # Adapt the specs to the actual shapes: replicate the batch when it
         # doesn't divide the data axis (e.g. batch-1 parameter init), and
         # fall back to the GSPMD-partitionable XLA cost volume when a
-        # pyramid level's H doesn't divide the spatial axis.
-        if f0.shape[1] % n_shards != 0:
+        # pyramid level's H doesn't divide the spatial axis or would hold
+        # fewer than MIN_ROWS_PER_SHARD rows per shard (tiny levels are
+        # kept spatially unsharded — see make_spatial_guard).
+        if (
+            f0.shape[1] % n_shards != 0
+            or f0.shape[1] // n_shards < min(MIN_ROWS_PER_SHARD, d)
+        ):
             from pwcnet_tpu.ops.cost_volume import cost_volume
 
             return cost_volume(f0, f1, search_range)

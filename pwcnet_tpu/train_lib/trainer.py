@@ -120,7 +120,7 @@ class Trainer:
 
     def _build_model(self):
         args = self.args
-        cv_fn = warp_cv_fn = pyramid_level_fn = None
+        cv_fn = warp_cv_fn = pyramid_level_fn = spatial_guard_fn = None
         use_pallas = bool(getattr(args, "pallas", False))
         use_fused = getattr(args, "fused", True) and (
             args.warp_type == "bilinear"
@@ -134,10 +134,15 @@ class Trainer:
             # --no-pallas)
             from pwcnet_tpu.parallel import (
                 make_spatial_cost_volume,
+                make_spatial_guard,
                 make_spatial_pyramid_level,
                 make_spatial_warped_cv,
             )
 
+            # tiny pyramid levels stay spatially unsharded — required
+            # for correct gradients on (data x spatial) meshes (GSPMD
+            # conv-grad miscompile; parallel/spatial.py docstring)
+            spatial_guard_fn = make_spatial_guard(self.mesh)
             cv_fn = make_spatial_cost_volume(self.mesh, use_pallas=use_pallas)
             if use_fused:
                 warp_cv_fn = make_spatial_warped_cv(
@@ -172,6 +177,7 @@ class Trainer:
             output_level=args.output_level,
             cost_volume_fn=cv_fn,
             warp_cv_fn=warp_cv_fn,
+            spatial_guard_fn=spatial_guard_fn,
             remat=getattr(args, "remat", False),
             # fused Pallas conv fwd + gz-chain bwd on the two finest
             # pyramid levels (measured -9% step time at 384x448 b4 bf16);

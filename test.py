@@ -51,6 +51,10 @@ def build_parser():
                         default="float32",
                         help="Model compute dtype — bfloat16 is the "
                         "fast serving path on TPU [float32]")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="Shard the frame's H axis over N devices "
+                        "(multi-chip serving for frames whose activations "
+                        "exceed one chip's HBM) [1]")
     return parser
 
 
@@ -81,6 +85,7 @@ def main(argv=None):
         output_level=args.output_level,
         size_handling=args.size_handling,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        spatial=args.spatial,
     )
     img0 = load_image(args.input_images[0])
     img1 = load_image(args.input_images[1])

@@ -86,6 +86,23 @@ class TestTestCLI:
         )
         assert "Inference time:" in capsys.readouterr().out
 
+    def test_spatial_sharded_serving_flag(self, frames, tmp_path,
+                                          monkeypatch):
+        # --spatial 2 shards the frame's H axis over 2 of the virtual
+        # devices; flow must match the unsharded run (same PRNGKey(0)
+        # random init)
+        monkeypatch.chdir(tmp_path)
+        args = ["--input_images", str(frames[0]), str(frames[1])] + TINY_MODEL
+        test_cli.main(args + ["--save_flow", "ref.flo"])
+        test_cli.main(args + ["--spatial", "2", "--save_flow", "sh.flo"])
+        from pwcnet_tpu.utils import load_flow
+
+        np.testing.assert_allclose(
+            load_flow(tmp_path / "sh.flo"),
+            load_flow(tmp_path / "ref.flo"),
+            rtol=1e-5, atol=1e-5,
+        )
+
     def test_bfloat16_serving_dtype(self, frames, tmp_path, monkeypatch):
         # --dtype bfloat16 must run end-to-end and still emit f32 flow
         monkeypatch.chdir(tmp_path)
