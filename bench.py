@@ -3,11 +3,14 @@
 
 With no mode flag this measures the training step (fwd+bwd+Adam at
 384x448 b4, the reference's default batch), inference at 448x1024 b4
-(cross-round comparability), and finally inference at the measured
-serving knee b8 (PARITY.md §6 batch-scaling study: b1 324 / b2 398 /
-b4 438 / b8 457 / b16 438 pairs/s — HBM working-set regression past
-b8), printing one JSON line each — the LAST line is the headline
-inference metric (the driver parses the final line):
+(cross-round comparability), inference at the measured serving knee b8
+(PARITY.md §6 batch-scaling study: b1 324 / b2 398 / b4 438 / b8 457 /
+b16 438 pairs/s — HBM working-set regression past b8), and finally the
+paper-anchor-exact shape — 1024x436 Sintel frames edge-padded to
+448x1024 *inside* the measured graph and the flow cropped back, b8 —
+printing one JSON line each. The LAST line is the headline inference
+metric (the driver parses the final line); its vs_baseline divides by
+the paper's 35 fps at the SAME 1024x436 frame size:
 
     {"metric": "...", "value": N, "unit": "image_pairs_per_sec_per_chip",
      "vs_baseline": N}
@@ -88,6 +91,7 @@ def _build_model(args, dtype):
         cost_volume_fn=cv_fn,
         warp_cv_fn=warp_cv_fn,
         pyramid_level_fn=plevel_fn,
+        remat=bool(getattr(args, "remat", False)),
         fused_pyramid_levels=(
             args.fused_pyramid
             if jax.devices()[0].platform != "cpu"
@@ -134,7 +138,13 @@ def bench_train(args, h: int, w: int) -> None:
     )
 
 
-def bench_infer(args, h: int, w: int) -> None:
+def bench_infer(args, h: int, w: int, pad_to: int | None = None) -> None:
+    """``pad_to``: paper-anchor mode — frames are h rows tall (e.g.
+    Sintel's 436) and the measured computation itself edge-pads them to
+    ``pad_to`` rows (the model's multiple-of-64 shape) and crops the
+    predicted flow back, exactly what serving a raw 1024x436 frame does
+    (FlowPredictor size_handling='pad'). Makes vs_baseline apples-to-
+    apples with the paper's 35 fps at 1024x436 (arXiv:1709.02371)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -146,14 +156,29 @@ def bench_infer(args, h: int, w: int) -> None:
 
     images_0 = jnp.asarray(rng.random((b, h, w, 3)), dtype)
     images_1 = jnp.asarray(rng.random((b, h, w, 3)), dtype)
+    if pad_to is not None:
+        pad = ((0, 0), (0, pad_to - h), (0, 0), (0, 0))
+
+        def fwd(variables, x0, x1):
+            x0 = jnp.pad(x0, pad, mode="edge")
+            x1 = jnp.pad(x1, pad, mode="edge")
+            return model.apply(variables, x0, x1)[0][:, :h]
+
+    else:
+
+        def fwd(variables, x0, x1):
+            return model.apply(variables, x0, x1)[0]
+
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), images_0, images_1
+        jax.random.PRNGKey(0),
+        jnp.pad(images_0, pad, mode="edge") if pad_to is not None else images_0,
+        jnp.pad(images_1, pad, mode="edge") if pad_to is not None else images_1,
     )
 
     @jax.jit
     def run(variables, images_0, images_1):
         def body(carry, _):
-            out = model.apply(variables, images_0 + carry, images_1)[0]
+            out = fwd(variables, images_0 + carry, images_1)
             return (out.mean() * 1e-12).astype(dtype), ()
 
         carry, _ = lax.scan(body, jnp.zeros((), dtype), None, length=K)
@@ -164,14 +189,19 @@ def bench_infer(args, h: int, w: int) -> None:
     result = float(run(variables, images_0, images_1))  # fetch = sync
     elapsed = time.perf_counter() - start
     assert np.isfinite(result)
+    kernel_tag = (
+        "fused pallas warp+cost volume"
+        if fused
+        else ("pallas" if pallas else "xla") + " cost volume"
+    )
+    shape_tag = (
+        f"{w}x{h} paper-anchor frames edge-padded to {pad_to}x{w} in-graph, "
+        if pad_to is not None
+        else f"{h}x{w} "
+    )
     _emit(
-        f"PWCDCNet {h}x{w} b{b} {args.dtype} inference throughput ("
-        + (
-            "fused pallas warp+cost volume"
-            if fused
-            else ("pallas" if pallas else "xla") + " cost volume"
-        )
-        + ")",
+        f"PWCDCNet {shape_tag}b{b} {args.dtype} inference throughput "
+        f"({kernel_tag})",
         K * b / elapsed,
     )
 
@@ -208,6 +238,11 @@ def main():
                         "the fused Pallas 6-conv chain kernel [0: off — "
                         "measured slower than XLA at the bench shapes: "
                         "train 243->219, infer 437->411 pairs/s]")
+    parser.add_argument("--remat", type=int, default=0, choices=[0, 1],
+                        help="1: rematerialize estimator/context/pyramid "
+                        "activations in the backward (jax.checkpoint) — "
+                        "trades spare MXU FLOPs for HBM activation "
+                        "traffic; A/B hook for the train step [0]")
     parser.add_argument("--train", action="store_true",
                         help="Benchmark ONLY the training step "
                         "(fwd+bwd+Adam at 384x448)")
@@ -248,9 +283,17 @@ def main():
         args.batch = user_batch or 4
         run(bench_infer, args.height or 448, args.width or 1024)
         if user_batch is None:
-            # headline: the measured serving knee (PARITY §6 scaling)
             args.batch = 8
+            # serving knee (PARITY §6 batch scaling) at the cross-round
+            # comparability shape
             run(bench_infer, args.height or 448, args.width or 1024)
+            # headline: paper-anchor-exact frames (Sintel 1024x436,
+            # edge-padded to 448 in-graph, flow cropped back) at the
+            # knee — vs_baseline is apples-to-apples with the 35 fps
+            # Titan X figure (arXiv:1709.02371)
+            import functools
+
+            run(functools.partial(bench_infer, pad_to=448), 436, 1024)
 
 
 if __name__ == "__main__":
