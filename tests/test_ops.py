@@ -218,3 +218,38 @@ class TestWarpCustomVJP:
             rtol=1e-5,
             atol=1e-5,
         )
+
+
+class TestConv3x3Taps:
+    """conv_taps.conv3x3_taps must be bit-level interchangeable with
+    lax.conv — it is kept as a measured-negative-result record (see the
+    module docstring), so the only thing worth asserting is parity."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("cin,cout", [(32, 2), (34, 2), (16, 8)])
+    def test_matches_lax_conv(self, rng, dtype, cin, cout):
+        from jax import lax
+
+        from pwcnet_tpu.ops.conv_taps import conv3x3_taps
+
+        x = jnp.asarray(rng.standard_normal((2, 6, 9, cin)), dtype)
+        k = jnp.asarray(
+            rng.standard_normal((3, 3, cin, cout)) * 0.1, dtype
+        )
+        b = jnp.asarray(rng.standard_normal((cout,)), dtype)
+        got = conv3x3_taps(x, k, b)
+        want = lax.conv_general_dilated(
+            x.astype(jnp.float32),
+            k.astype(jnp.float32),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b.astype(jnp.float32)
+        assert got.dtype == x.dtype
+        tol = 1e-5 if dtype == jnp.float32 else 5e-2
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want.astype(dtype), np.float32),
+            rtol=tol,
+            atol=tol,
+        )
