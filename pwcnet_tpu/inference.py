@@ -158,8 +158,28 @@ class FlowPredictor:
 
     # -- params -----------------------------------------------------------
     def _init_params(self, h: int, w: int):
-        imgs = jnp.zeros((1, h, w, 3), self.model.dtype)
-        variables = self.model.init(jax.random.PRNGKey(0), imgs, imgs)
+        # PWCDCNet is fully convolutional: the parameter tree (shapes,
+        # names, AND init draws — flax initializers sample per kernel
+        # shape on a module-structure-determined RNG path) is identical
+        # for every legal frame size, so initialize a plain twin model
+        # (same architecture, default XLA ops — the custom kernel/mesh
+        # fns only change activation compute) at the 2**num_levels
+        # minimum frame instead of tracing the real model at (h, w):
+        # at serving sizes an eager full-frame init costs a full-frame
+        # forward (minutes at 8 k frames, worse when the model's ops are
+        # mesh-sharded shard_maps that collective-exchange eagerly).
+        del h, w
+        f = self.crop_factor
+        init_model = PWCDCNet(
+            num_levels=self.num_levels,
+            search_range=self.model.search_range,
+            warp_type=self.model.warp_type,
+            use_dc=self.model.use_dc,
+            output_level=self.model.output_level,
+            dtype=self.model.dtype,
+        )
+        imgs = jnp.zeros((1, f, f, 3), self.model.dtype)
+        variables = init_model.init(jax.random.PRNGKey(0), imgs, imgs)
         params = variables["params"]
         if self._checkpoint is not None:
             if str(self._checkpoint).endswith((".ckpt", ".ckpt.index")):
