@@ -3,12 +3,12 @@
 
 With no mode flag this measures the training step (fwd+bwd+Adam at
 384x448 b4, the reference's default batch), inference at 448x1024 b4
-(cross-round comparability), inference at the measured serving knee b8
-(PARITY.md §6 batch-scaling study: b1 324 / b2 398 / b4 438 / b8 457 /
-b16 438 pairs/s — HBM working-set regression past b8), and finally the
-paper-anchor-exact shape — 1024x436 Sintel frames edge-padded to
-448x1024 *inside* the measured graph and the flow cropped back, b8 —
-printing one JSON line each. The LAST line is the headline inference
+(cross-round comparability; also the measured round-4 serving knee —
+PARITY.md §6 batch-scaling study: b1 381 / b2 487 / b4 538 / b8 530 /
+b16 447 pairs/s, HBM working-set regression past b4), a past-knee b8
+inference check, and finally the paper-anchor-exact shape — 1024x436
+Sintel frames edge-padded to 448x1024 *inside* the measured graph and
+the flow cropped back, at the b4 knee — printing one JSON line each. The LAST line is the headline inference
 metric (the driver parses the final line); its vs_baseline divides by
 the paper's 35 fps at the SAME 1024x436 frame size:
 
@@ -213,8 +213,9 @@ def main():
     parser.add_argument("--width", type=int, default=None,
                         help="Frame width [1024 infer / 448 train]")
     parser.add_argument("--batch", type=int, default=None,
-                        help="Batch size [4; the default full run adds "
-                        "a final b8 serving-knee inference line]")
+                        help="Batch size [4 — the measured serving knee; "
+                        "the default full run adds a past-knee b8 check "
+                        "and the paper-anchor headline at b4]")
     parser.add_argument("--iters", type=int, default=100)
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="bfloat16")
@@ -281,11 +282,13 @@ def main():
         run(bench_train, args.height or 384, args.width or 448)
     if do_infer:
         args.batch = user_batch or 4
+        # b4 = cross-round comparability shape AND the measured round-4
+        # serving knee (PARITY §6 batch scaling)
         run(bench_infer, args.height or 448, args.width or 1024)
         if user_batch is None:
+            # past-knee check: b8 sat the knee in rounds 2-3; keep the
+            # datapoint so the scaling story stays measured every round
             args.batch = 8
-            # serving knee (PARITY §6 batch scaling) at the cross-round
-            # comparability shape
             run(bench_infer, args.height or 448, args.width or 1024)
             # headline: paper-anchor-exact frames (Sintel 1024x436,
             # edge-padded to 448 in-graph, flow cropped back) at the
@@ -293,6 +296,7 @@ def main():
             # Titan X figure (arXiv:1709.02371)
             import functools
 
+            args.batch = 4
             run(functools.partial(bench_infer, pad_to=448), 436, 1024)
 
 
