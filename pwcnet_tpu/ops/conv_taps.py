@@ -24,8 +24,11 @@ restructuring. Keep the XLA conv in the model; this op stays as the
 documented record with a bit-parity test (tests/test_ops.py).
 
 Numerics: each tap is a jnp.dot with f32 accumulation
-(preferred_element_type), taps summed in f32, cast back once — bit-equal
-to lax.conv at bf16 inputs in the shapes tested (tests/test_ops.py).
+(preferred_element_type), taps summed in f32, cast back once —
+numerically equivalent to lax.conv within the test tolerances
+(tests/test_ops.py::TestConv3x3Taps: atol/rtol 1e-5 at f32, 5e-2 at
+bf16; exact bit-equality is not asserted — summation order differs
+from XLA's conv lowering).
 """
 
 from __future__ import annotations

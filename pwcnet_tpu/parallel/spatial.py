@@ -116,8 +116,14 @@ def make_spatial_cost_volume(
         # doesn't divide the data axis (e.g. batch-1 parameter init), and
         # fall back to the GSPMD-partitionable XLA cost volume when a
         # pyramid level's H doesn't divide the spatial axis or would hold
-        # fewer than MIN_ROWS_PER_SHARD rows per shard (tiny levels are
-        # kept spatially unsharded — see make_spatial_guard).
+        # fewer than min(MIN_ROWS_PER_SHARD, d) rows per shard. The min
+        # with d is DELIBERATELY below make_spatial_guard's unshard
+        # threshold (rows/shard < MIN_ROWS_PER_SHARD): it keeps the
+        # ppermute-halo path reachable at the tiny search ranges the test
+        # suite uses (d=2, 4-8 row shards). For d < MIN_ROWS_PER_SHARD a
+        # guard-unsharded level therefore re-enters the shard_map here and
+        # is resharded back — a small amount of reshard churn, never a
+        # correctness issue; at the production d=4 both thresholds agree.
         if (
             f0.shape[1] % n_shards != 0
             or f0.shape[1] // n_shards < min(MIN_ROWS_PER_SHARD, d)

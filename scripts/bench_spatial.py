@@ -155,8 +155,18 @@ def part_sharded(h, w, spatial):
     import numpy as np
 
     assert np.isfinite(v)
-    print(f"  ran OK, one dispatch {elapsed * 1e3:.0f} ms "
-          "(CPU time not a TPU throughput)")
+    # This part is a functional + memory-split check; the single dispatch
+    # timed here includes the host round-trip and is NOT a throughput
+    # number on either backend (the repo's timing methodology — scan-chain
+    # + fetch, CLAUDE.md / utils.profiling.device_timeit — is what part 3
+    # uses). Label accordingly per backend.
+    caveat = (
+        "CPU time, not a TPU throughput"
+        if jax.devices()[0].platform == "cpu"
+        else "single-dispatch functional-check latency incl. host "
+        "round-trip — not a throughput; see part 3 for timed numbers"
+    )
+    print(f"  ran OK, one dispatch {elapsed * 1e3:.0f} ms ({caveat})")
     return total
 
 
