@@ -205,8 +205,16 @@ def _conv_seq(params, prefix, x, specs):
 
 def pwcdcnet_forward(params, images_0, images_1, num_levels=6,
                      search_range=4, output_level=4,
-                     filters=(16, 32, 64, 96, 128, 192)):
-    """Full PWCDCNet forward in NumPy, mirroring model.py:95-134."""
+                     filters=(16, 32, 64, 96, 128, 192), use_dc=False):
+    """Full PWCDCNet forward in NumPy, mirroring model.py:95-134.
+
+    ``use_dc`` enables the estimator's dense connections exactly as the
+    reference does (modules.py:269-272): after each of the 5 hidden convs
+    the activated output is concatenated IN FRONT of the running feature
+    stack (``concat([conv, features])``), so the flow-head conv sees the
+    widened stack. The flow-head kernel input widths change accordingly;
+    the checkpoint name tree does not.
+    """
 
     def extract(images):
         pyramid = []
@@ -234,9 +242,12 @@ def pwcdcnet_forward(params, images_0, images_1, num_levels=6,
         for i in range(5):
             name = "conv2d" if i == 0 else f"conv2d_{i}"
             p = est[name]
-            feats = leaky_relu(
+            conv = leaky_relu(
                 conv2d_same(feats, np.asarray(p["kernel"]),
                             np.asarray(p["bias"])), 0.1)
+            # dense connection: conv output first (modules.py:269-272)
+            feats = (np.concatenate([conv, feats], axis=3)
+                     if use_dc else conv)
         p = est["conv2d_5"]
         flows = conv2d_same(feats, np.asarray(p["kernel"]),
                             np.asarray(p["bias"]))

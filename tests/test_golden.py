@@ -51,6 +51,56 @@ def test_pwcdcnet_matches_numpy_oracle(rng):
     )
 
 
+def test_pwcdcnet_use_dc_matches_numpy_oracle(rng):
+    """Dense-connection (use_dc=True) wiring parity vs the oracle.
+
+    The reference's dense path (modules.py:269-272) concatenates each
+    conv's activated output IN FRONT of the running feature stack; a
+    flipped concat order or a missed widening would change every
+    estimator's flow head. The oracle implements the dense path
+    independently (oracles.pwcdcnet_forward(use_dc=True)); this test
+    fails if either the concat order or the stack threading drifts.
+    """
+    num_levels, output_level, d = 3, 1, 2
+    h = w = 16
+    model = PWCDCNet(
+        num_levels=num_levels, output_level=output_level, search_range=d,
+        use_dc=True,
+    )
+    images_0 = rng.random((1, h, w, 3)).astype(np.float32)
+    images_1 = rng.random((1, h, w, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(11), jnp.asarray(images_0), jnp.asarray(images_1)
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    # the dense path widens the estimator stack: the flow-head conv2d_5
+    # must see cv+extras + sum(hidden filters) input channels, not 32
+    in_ch = params["optflow_0"]["conv2d"]["kernel"].shape[2]
+    head_in = params["optflow_0"]["conv2d_5"]["kernel"].shape[2]
+    assert head_in == in_ch + 128 + 128 + 96 + 64 + 32
+
+    flows_jax, pyramid_jax = model.apply(
+        variables, jnp.asarray(images_0), jnp.asarray(images_1)
+    )
+    flows_np, pyramid_np = oracles.pwcdcnet_forward(
+        params,
+        images_0,
+        images_1,
+        num_levels=num_levels,
+        search_range=d,
+        output_level=output_level,
+        use_dc=True,
+    )
+    for l, (a, b) in enumerate(zip(pyramid_jax, pyramid_np)):
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-4, atol=1e-5, err_msg=f"level {l}"
+        )
+    np.testing.assert_allclose(
+        np.asarray(flows_jax), flows_np, rtol=1e-4, atol=1e-4
+    )
+
+
 def test_conv_same_oracle_against_flax(rng):
     """Sanity: the oracle's TF-SAME conv matches flax for stride/dilation."""
     import flax.linen as nn
