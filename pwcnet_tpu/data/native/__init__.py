@@ -92,6 +92,36 @@ def load_library():
             ctypes.c_int,
         ]
         lib.pwc_load_batch.restype = ctypes.c_int
+        lib.pwc_assemble_cached.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),   # frames base
+            ctypes.POINTER(ctypes.c_float),   # flows base
+            ctypes.c_int,                     # n_frames
+            ctypes.c_int,                     # n_flows
+            ctypes.c_int,                     # frame_h
+            ctypes.c_int,                     # frame_w
+            ctypes.c_int,                     # batch
+            ctypes.c_int,                     # crop_h
+            ctypes.c_int,                     # crop_w
+            ctypes.POINTER(ctypes.c_int),     # img0_idx
+            ctypes.POINTER(ctypes.c_int),     # img1_idx
+            ctypes.POINTER(ctypes.c_int),     # flow_idx
+            ctypes.POINTER(ctypes.c_int),     # y0s
+            ctypes.POINTER(ctypes.c_int),     # x0s
+            ctypes.POINTER(ctypes.c_ubyte),   # flip_bits
+            ctypes.POINTER(ctypes.c_float),   # images_out
+            ctypes.POINTER(ctypes.c_float),   # flows_out
+            ctypes.c_int,                     # num_threads
+        ]
+        lib.pwc_assemble_cached.restype = ctypes.c_int
+        lib.pwc_assemble_cached_u8.argtypes = (
+            lib.pwc_assemble_cached.argtypes[:15]
+            + [
+                ctypes.POINTER(ctypes.c_ubyte),  # images_out (uint8)
+                ctypes.POINTER(ctypes.c_float),  # flows_out
+                ctypes.c_int,                    # num_threads
+            ]
+        )
+        lib.pwc_assemble_cached_u8.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -180,3 +210,72 @@ def load_batch(
     if rc != 0:
         raise IOError(f"pwc_load_batch failed with code {rc}")
     return images, flows
+
+
+def assemble_cached(
+    frames: np.ndarray,
+    flows: np.ndarray,
+    img0_idx,
+    img1_idx,
+    flow_idx,
+    crop_hw: tuple[int, int],
+    y0s,
+    x0s,
+    flips,
+    num_threads: int = 4,
+    image_dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Assemble a batch from pre-decoded raw arrays.
+
+    ``frames``: (n_frames, H, W, 3) uint8 C-contiguous (a np.memmap of the
+    cache's frames file works directly); ``flows``: (n_flows, H, W, 2)
+    float32. Crop/flip/normalize semantics match `load_batch` exactly.
+    ``image_dtype=np.float32``: images normalized to [0,1] on the host;
+    ``np.uint8``: raw bytes (device-normalize pipeline — 4x fewer host and
+    PCIe image bytes; the consumer divides by 255 on-device).
+    Returns (images (B,2,ch,cw,3), flows (B,ch,cw,2) f32).
+    """
+    lib = load_library()
+    assert frames.dtype == np.uint8 and frames.ndim == 4
+    assert flows.dtype == np.float32 and flows.ndim == 4
+    image_dtype = np.dtype(image_dtype)
+    assert image_dtype in (np.float32, np.uint8)
+    n_frames, fh, fw, _ = frames.shape
+    n_flows = flows.shape[0]
+    batch = len(img0_idx)
+    ch, cw = crop_hw
+    images_out = np.empty((batch, 2, ch, cw, 3), image_dtype)
+    flows_out = np.empty((batch, ch, cw, 2), np.float32)
+
+    def _ints(v):
+        return (ctypes.c_int * batch)(*[int(x) for x in v])
+
+    if image_dtype == np.uint8:
+        fn = lib.pwc_assemble_cached_u8
+        img_ptr = images_out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+    else:
+        fn = lib.pwc_assemble_cached
+        img_ptr = images_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = fn(
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        flows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_frames,
+        n_flows,
+        fh,
+        fw,
+        batch,
+        ch,
+        cw,
+        _ints(img0_idx),
+        _ints(img1_idx),
+        _ints(flow_idx),
+        _ints(y0s),
+        _ints(x0s),
+        (ctypes.c_ubyte * batch)(*[int(v) for v in flips]),
+        img_ptr,
+        flows_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        num_threads,
+    )
+    if rc != 0:
+        raise IOError(f"pwc_assemble_cached failed with code {rc}")
+    return images_out, flows_out

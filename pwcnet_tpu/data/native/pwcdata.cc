@@ -29,6 +29,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <thread>
+#include <type_traits>
 #include <vector>
 
 namespace {
@@ -312,6 +313,77 @@ int ReadFlo(const char* path, Flow* flow) {
   return got == flow->data.size() ? 0 : -5;
 }
 
+// -------- crop + flip + normalize (shared by decode and cache paths) -------
+// Crop a (crop_h, crop_w) window at (y0, x0) out of a raw u8 RGB frame of
+// width src_w, apply h/v flips, and normalize to [0, 1] float32.
+void CropNormalizeFrame(const uint8_t* src, int src_w, int crop_h, int crop_w,
+                        int y0, int x0, bool hflip, bool vflip, float* dst) {
+  const float inv = 1.0f / 255.0f;
+  for (int y = 0; y < crop_h; ++y) {
+    int sy = y0 + (vflip ? crop_h - 1 - y : y);
+    const uint8_t* row = src + (static_cast<size_t>(sy) * src_w + x0) * 3;
+    float* orow = dst + static_cast<size_t>(y) * crop_w * 3;
+    if (!hflip) {
+      for (int x = 0; x < crop_w * 3; ++x) orow[x] = row[x] * inv;
+    } else {
+      for (int x = 0; x < crop_w; ++x) {
+        const uint8_t* px = row + (crop_w - 1 - x) * 3;
+        orow[x * 3 + 0] = px[0] * inv;
+        orow[x * 3 + 1] = px[1] * inv;
+        orow[x * 3 + 2] = px[2] * inv;
+      }
+    }
+  }
+}
+
+// Same crop/flip but KEEPING uint8 (the device-normalize pipeline: the
+// /255 happens on-chip, so the host moves 4x fewer image bytes and the
+// PCIe transfer shrinks the same way). No-flip rows are pure memcpy.
+void CropFrameU8(const uint8_t* src, int src_w, int crop_h, int crop_w,
+                 int y0, int x0, bool hflip, bool vflip, uint8_t* dst) {
+  for (int y = 0; y < crop_h; ++y) {
+    int sy = y0 + (vflip ? crop_h - 1 - y : y);
+    const uint8_t* row = src + (static_cast<size_t>(sy) * src_w + x0) * 3;
+    uint8_t* orow = dst + static_cast<size_t>(y) * crop_w * 3;
+    if (!hflip) {
+      memcpy(orow, row, static_cast<size_t>(crop_w) * 3);
+    } else {
+      for (int x = 0; x < crop_w; ++x) {
+        const uint8_t* px = row + (crop_w - 1 - x) * 3;
+        orow[x * 3 + 0] = px[0];
+        orow[x * 3 + 1] = px[1];
+        orow[x * 3 + 2] = px[2];
+      }
+    }
+  }
+}
+
+// Same crop/flip for the (H, W, 2) float32 flow, negating the flipped
+// components (matching datasets.FlowDataset.__getitem__). The unflipped
+// row copy is pure memcpy.
+void CropFlipFlow(const float* src, int src_w, int crop_h, int crop_w, int y0,
+                  int x0, bool hflip, bool vflip, float* dst) {
+  if (!hflip && !vflip) {
+    for (int y = 0; y < crop_h; ++y)
+      memcpy(dst + static_cast<size_t>(y) * crop_w * 2,
+             src + (static_cast<size_t>(y0 + y) * src_w + x0) * 2,
+             static_cast<size_t>(crop_w) * 2 * sizeof(float));
+    return;
+  }
+  const float sx = hflip ? -1.0f : 1.0f;
+  const float sy_ = vflip ? -1.0f : 1.0f;
+  for (int y = 0; y < crop_h; ++y) {
+    int srcy = y0 + (vflip ? crop_h - 1 - y : y);
+    const float* row = src + (static_cast<size_t>(srcy) * src_w + x0) * 2;
+    float* orow = dst + static_cast<size_t>(y) * crop_w * 2;
+    for (int x = 0; x < crop_w; ++x) {
+      int srcx = (hflip ? crop_w - 1 - x : x) * 2;
+      orow[x * 2 + 0] = row[srcx + 0] * sx;
+      orow[x * 2 + 1] = row[srcx + 1] * sy_;
+    }
+  }
+}
+
 // -------- one sample: decode + crop + flip + normalize ---------------------
 int LoadSample(const char* img0_path, const char* img1_path,
                const char* flo_path, int crop_h, int crop_w, int y0, int x0,
@@ -329,43 +401,83 @@ int LoadSample(const char* img0_path, const char* img1_path,
 
   const bool hflip = flip_bits & 1u;
   const bool vflip = flip_bits & 2u;
-  const float inv = 1.0f / 255.0f;
   const size_t frame_stride = static_cast<size_t>(crop_h) * crop_w * 3;
-
-  for (int fi = 0; fi < 2; ++fi) {
-    const Image& im = fi == 0 ? im0 : im1;
-    float* dst = images_out + fi * frame_stride;
-    for (int y = 0; y < crop_h; ++y) {
-      int sy = y0 + (vflip ? crop_h - 1 - y : y);
-      const uint8_t* row = &im.data[(static_cast<size_t>(sy) * im.w + x0) * 3];
-      float* orow = dst + static_cast<size_t>(y) * crop_w * 3;
-      if (!hflip) {
-        for (int x = 0; x < crop_w * 3; ++x) orow[x] = row[x] * inv;
-      } else {
-        for (int x = 0; x < crop_w; ++x) {
-          const uint8_t* px = row + (crop_w - 1 - x) * 3;
-          orow[x * 3 + 0] = px[0] * inv;
-          orow[x * 3 + 1] = px[1] * inv;
-          orow[x * 3 + 2] = px[2] * inv;
-        }
-      }
-    }
-  }
-
-  const float sx = hflip ? -1.0f : 1.0f;
-  const float sy_ = vflip ? -1.0f : 1.0f;
-  for (int y = 0; y < crop_h; ++y) {
-    int srcy = y0 + (vflip ? crop_h - 1 - y : y);
-    const float* row = &fl.data[(static_cast<size_t>(srcy) * fl.w + x0) * 2];
-    float* orow = flows_out + static_cast<size_t>(y) * crop_w * 2;
-    for (int x = 0; x < crop_w; ++x) {
-      int srcx = (hflip ? crop_w - 1 - x : x) * 2;
-      orow[x * 2 + 0] = row[srcx + 0] * sx;
-      orow[x * 2 + 1] = row[srcx + 1] * sy_;
-    }
-  }
+  CropNormalizeFrame(im0.data.data(), im0.w, crop_h, crop_w, y0, x0, hflip,
+                     vflip, images_out);
+  CropNormalizeFrame(im1.data.data(), im1.w, crop_h, crop_w, y0, x0, hflip,
+                     vflip, images_out + frame_stride);
+  CropFlipFlow(fl.data.data(), fl.w, crop_h, crop_w, y0, x0, hflip, vflip,
+               flows_out);
   return 0;
 }
+
+// Assemble a batch straight from a pre-decoded raw cache (pwcnet_tpu.data.
+// cache): `frames` is the base of an (n_frames, frame_h, frame_w, 3) uint8
+// memmap, `flows` of an (n_flows, frame_h, frame_w, 2) float32 memmap.
+// Per sample i the pair (img0_idx[i], img1_idx[i]) indexes frames and
+// flow_idx[i] indexes flows; crop/flip semantics are identical to the
+// decode path (LoadSample) — pure memory traffic, no decompression.
+// ImgT float: host-normalized [0,1] images; ImgT uint8: raw bytes for the
+// device-normalize pipeline (4x fewer host+PCIe image bytes).
+// Returns 0, or -1001 for an out-of-bounds crop, -1002 for a bad index.
+template <typename ImgT>
+int AssembleCachedImpl(const uint8_t* frames, const float* flows,
+                       int n_frames, int n_flows, int frame_h, int frame_w,
+                       int batch, int crop_h, int crop_w,
+                       const int* img0_idx, const int* img1_idx,
+                       const int* flow_idx, const int* y0s, const int* x0s,
+                       const unsigned char* flip_bits, ImgT* images_out,
+                       float* flows_out, int num_threads) {
+  if (batch <= 0 || crop_h <= 0 || crop_w <= 0) return -7;
+  const size_t fpx = static_cast<size_t>(frame_h) * frame_w;
+  const size_t img_stride = static_cast<size_t>(2) * crop_h * crop_w * 3;
+  const size_t flo_stride = static_cast<size_t>(crop_h) * crop_w * 2;
+
+  std::vector<int> rcs(batch, 0);
+  int nt = num_threads < 1 ? 1 : (num_threads > batch ? batch : num_threads);
+  std::vector<std::thread> workers;
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&, t]() {
+      for (int i = t; i < batch; i += nt) {
+        const int i0 = img0_idx[i], i1 = img1_idx[i], fi = flow_idx[i];
+        if (i0 < 0 || i0 >= n_frames || i1 < 0 || i1 >= n_frames ||
+            fi < 0 || fi >= n_flows) {
+          rcs[i] = -1002;
+          continue;
+        }
+        const int y0 = y0s[i], x0 = x0s[i];
+        if (y0 < 0 || x0 < 0 || y0 + crop_h > frame_h ||
+            x0 + crop_w > frame_w) {
+          rcs[i] = -1001;
+          continue;
+        }
+        const bool hflip = flip_bits[i] & 1u;
+        const bool vflip = flip_bits[i] & 2u;
+        ImgT* img_dst = images_out + i * img_stride;
+        for (int fr = 0; fr < 2; ++fr) {
+          const uint8_t* src =
+              frames + static_cast<size_t>(fr == 0 ? i0 : i1) * fpx * 3;
+          ImgT* dst = img_dst + fr * (img_stride / 2);
+          if constexpr (std::is_same_v<ImgT, float>) {
+            CropNormalizeFrame(src, frame_w, crop_h, crop_w, y0, x0, hflip,
+                               vflip, dst);
+          } else {
+            CropFrameU8(src, frame_w, crop_h, crop_w, y0, x0, hflip, vflip,
+                        dst);
+          }
+        }
+        CropFlipFlow(flows + static_cast<size_t>(fi) * fpx * 2, frame_w,
+                     crop_h, crop_w, y0, x0, hflip, vflip,
+                     flows_out + i * flo_stride);
+      }
+    });
+  }
+  for (auto& th : workers) th.join();
+  for (int rc : rcs)
+    if (rc != 0) return rc;
+  return 0;
+}
+
 
 }  // namespace
 
@@ -394,6 +506,33 @@ int pwc_read_flo(const char* path, float* out, int max_floats, int* h,
   *h = fl.h;
   *w = fl.w;
   return 0;
+}
+
+int pwc_assemble_cached(const uint8_t* frames, const float* flows,
+                        int n_frames, int n_flows, int frame_h, int frame_w,
+                        int batch, int crop_h, int crop_w,
+                        const int* img0_idx, const int* img1_idx,
+                        const int* flow_idx, const int* y0s, const int* x0s,
+                        const unsigned char* flip_bits, float* images_out,
+                        float* flows_out, int num_threads) {
+  return AssembleCachedImpl<float>(
+      frames, flows, n_frames, n_flows, frame_h, frame_w, batch, crop_h,
+      crop_w, img0_idx, img1_idx, flow_idx, y0s, x0s, flip_bits, images_out,
+      flows_out, num_threads);
+}
+
+int pwc_assemble_cached_u8(const uint8_t* frames, const float* flows,
+                           int n_frames, int n_flows, int frame_h,
+                           int frame_w, int batch, int crop_h, int crop_w,
+                           const int* img0_idx, const int* img1_idx,
+                           const int* flow_idx, const int* y0s,
+                           const int* x0s, const unsigned char* flip_bits,
+                           uint8_t* images_out, float* flows_out,
+                           int num_threads) {
+  return AssembleCachedImpl<uint8_t>(
+      frames, flows, n_frames, n_flows, frame_h, frame_w, batch, crop_h,
+      crop_w, img0_idx, img1_idx, flow_idx, y0s, x0s, flip_bits, images_out,
+      flows_out, num_threads);
 }
 
 // Load a full batch concurrently. Returns 0, or the first non-zero sample

@@ -4,7 +4,12 @@ Replaces the reference's torch DataLoader + per-step feed_dict copy
 (train.py:36-41,125-127) with:
 
 - `DataLoader`: threaded sample decoding (PIL/np release the GIL) with
-  batch-ahead prefetching, shuffling, and drop_last;
+  batch-ahead prefetching, shuffling, and drop_last; three batch paths,
+  fastest eligible wins: raw pre-decoded cache (data/cache.py — pure
+  memory traffic, one-time transcode via scripts/transcode_dataset.py),
+  native C++ decode (data/native), PIL. All three draw augmentation from
+  the same per-(seed, epoch, sample) streams, so batches are
+  path-identical (tested);
 - `device_prefetch`: keeps N batches in flight on-device (double-buffered
   HBM transfers, optionally placed under a `jax.sharding.NamedSharding` so
   each batch lands already sharded across the mesh's data axis).
@@ -40,8 +45,10 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         prefetch_batches: int = 2,
-        normalize: bool = True,
+        normalize: bool | str = True,
         use_native: str | bool = "auto",
+        use_cache: str | bool = "auto",
+        cache_dir=None,
         process_index: int = 0,
         process_count: int = 1,
     ):
@@ -54,6 +61,14 @@ class DataLoader:
         self.num_workers = max(1, int(num_workers))
         self.drop_last = drop_last
         self.prefetch_batches = max(1, int(prefetch_batches))
+        # normalize: True -> host /255 (f32 images, the reference
+        # contract); 'device' -> images stay uint8 and the /255 happens
+        # on-chip (device_prefetch converts) — 4x fewer host + PCIe image
+        # bytes, the TPU-native feed; False -> raw uint8, no conversion
+        # anywhere (caller's responsibility).
+        if normalize not in (True, False, "device"):
+            raise ValueError(f"normalize must be True/False/'device': "
+                             f"{normalize!r}")
         self.normalize = normalize
         if not 0 <= process_index < process_count:
             raise ValueError(
@@ -71,7 +86,10 @@ class DataLoader:
         # one-shot skip count consumed by the next iteration.
         self.epoch = 0
         self.start_batch = 0
-        self._native = self._native_setup(use_native)
+        # fastest first: raw pre-decoded cache (pure memory traffic,
+        # data/cache.py) > native C++ decode > PIL
+        self._cache = self._cache_setup(use_cache, cache_dir)
+        self._native = None if self._cache else self._native_setup(use_native)
 
     def _sample_rng(self, epoch: int, idx: int) -> np.random.Generator:
         """Augmentation generator for sample ``idx`` of ``epoch``: a pure
@@ -82,6 +100,102 @@ class DataLoader:
         once per epoch)."""
         return np.random.default_rng((self.seed, epoch, 1, int(idx)))
 
+    def _aug_geometry(self) -> dict:
+        """Crop/flip geometry shared by the fast batch-assembly paths
+        (native decode and raw cache); the draws themselves come from
+        `_sample_rng` so every path produces identical augmentation."""
+        ds = self.dataset
+        native_hw = ds._native_size()
+        crop = (
+            ds.crop_shape
+            if ds.crop_type != "none" and ds.crop_shape is not None
+            else native_hw
+        )
+        return {
+            "hw": native_hw,
+            "crop": tuple(crop),
+            "crop_type": ds.crop_type,
+            # drawn exactly when the PIL path draws (datasets.__getitem__)
+            # so the per-(epoch, sample) streams stay path-identical
+            "draw_crop": ds.crop_type == "random"
+            and ds.crop_shape is not None,
+            "flip": getattr(ds, "random_flip", False),
+        }
+
+    def _draw_aug(self, idxs, epoch: int, cfg: dict):
+        """Identical draw sequence to datasets.__getitem__ (y0, x0, then
+        one uniform per flip axis) for every sample of a batch."""
+        import numpy as _np
+
+        h, w = cfg["hw"]
+        ch, cw = cfg["crop"]
+        n = len(idxs)
+        rngs = [self._sample_rng(epoch, i) for i in idxs]
+        if cfg["draw_crop"]:
+            y0s = _np.array([int(r.integers(0, h - ch + 1)) for r in rngs])
+            x0s = _np.array([int(r.integers(0, w - cw + 1)) for r in rngs])
+        elif cfg["crop_type"] == "center":
+            y0s = _np.full(n, (h - ch) // 2)
+            x0s = _np.full(n, (w - cw) // 2)
+        else:
+            y0s = _np.zeros(n, int)
+            x0s = _np.zeros(n, int)
+        if cfg["flip"]:
+            flips = _np.array(
+                [
+                    (r.random() < 0.5) | ((r.random() < 0.5) << 1)
+                    for r in rngs
+                ],
+                _np.uint8,
+            )
+        else:
+            flips = _np.zeros(n, _np.uint8)
+        return y0s, x0s, flips
+
+    def _cache_setup(self, use_cache, cache_dir):
+        """Enable the raw pre-decoded cache path (data/cache.py) when a
+        valid cache exists for this dataset: batches assemble straight
+        from the memmapped frames/flows — crop + flip + normalize, no
+        decode. ``use_cache=True`` requires one; 'auto' silently falls
+        back to the decode paths."""
+        if not use_cache or self.normalize is False:
+            if use_cache is True and self.normalize is False:
+                raise ValueError(
+                    "use_cache=True requires normalize=True or 'device'"
+                )
+            return None
+        try:
+            from pwcnet_tpu.data.cache import open_cache
+
+            cache = open_cache(self.dataset, cache_dir)
+        except Exception:
+            if use_cache is True:
+                raise
+            cache = None
+        if cache is None:
+            if use_cache is True:
+                raise ValueError(
+                    "use_cache=True but no valid cache for this dataset "
+                    "(build one with scripts/transcode_dataset.py)"
+                )
+            return None
+        return {"cache": cache, **self._aug_geometry()}
+
+    def _cache_assemble(self, idxs, epoch: int):
+        cfg = self._cache
+        y0s, x0s, flips = self._draw_aug(idxs, epoch, cfg)
+        return cfg["cache"].assemble(
+            [int(i) for i in idxs],
+            cfg["crop"],
+            y0s,
+            x0s,
+            flips,
+            num_threads=self.num_workers,
+            image_dtype=(
+                np.uint8 if self.normalize == "device" else np.float32
+            ),
+        )
+
     def _native_setup(self, use_native):
         """Enable the C++ batch assembler when the dataset qualifies:
         PPM- or PNG-backed /.flo sample triples, no resize, uniform frame
@@ -89,7 +203,13 @@ class DataLoader:
         the from-scratch reader does not support (16-bit, palette,
         interlaced) fall back to the PIL path up front instead of failing
         mid-epoch."""
-        if not use_native or not self.normalize:
+        if not use_native or self.normalize is not True:
+            # the native decode path emits host-normalized f32 only
+            if use_native is True and self.normalize == "device":
+                raise ValueError(
+                    "use_native=True is incompatible with "
+                    "normalize='device' (use the cache path)"
+                )
             return None
         ds = self.dataset
         samples = getattr(ds, "samples", None)
@@ -118,57 +238,18 @@ class DataLoader:
             if use_native is True:
                 raise
             return None
-        native_hw = ds._native_size()
-        crop = (
-            ds.crop_shape
-            if ds.crop_type != "none" and ds.crop_shape is not None
-            else native_hw
-        )
-        return {
-            "native": native,
-            "hw": native_hw,
-            "crop": tuple(crop),
-            "crop_type": ds.crop_type,
-            # drawn exactly when the PIL path draws (datasets.__getitem__)
-            # so the per-(epoch, sample) streams stay path-identical
-            "draw_crop": ds.crop_type == "random"
-            and ds.crop_shape is not None,
-            "flip": getattr(ds, "random_flip", False),
-        }
+        return {"native": native, **self._aug_geometry()}
 
     def _native_assemble(self, idxs, epoch: int):
         cfg = self._native
         ds = self.dataset
-        h, w = cfg["hw"]
-        ch, cw = cfg["crop"]
-        n = len(idxs)
-        # identical draw sequence to datasets.__getitem__ (y0, x0, then
-        # one uniform per flip axis), so native and PIL runs produce the
-        # same augmentations for the same (seed, epoch, sample)
-        rngs = [self._sample_rng(epoch, i) for i in idxs]
-        if cfg["draw_crop"]:
-            y0s = np.array([int(r.integers(0, h - ch + 1)) for r in rngs])
-            x0s = np.array([int(r.integers(0, w - cw + 1)) for r in rngs])
-        elif cfg["crop_type"] == "center":
-            y0s = np.full(n, (h - ch) // 2)
-            x0s = np.full(n, (w - cw) // 2)
-        else:
-            y0s = np.zeros(n, int)
-            x0s = np.zeros(n, int)
-        if cfg["flip"]:
-            flips = np.array(
-                [
-                    (r.random() < 0.5) | ((r.random() < 0.5) << 1)
-                    for r in rngs
-                ],
-                np.uint8,
-            )
-        else:
-            flips = np.zeros(n, np.uint8)
+        # identical draw sequence to datasets.__getitem__, so native and
+        # PIL runs produce the same augmentations per (seed, epoch, sample)
+        y0s, x0s, flips = self._draw_aug(idxs, epoch, cfg)
         samples = [ds.samples[int(i)] for i in idxs]
         return cfg["native"].load_batch(
             samples,
-            (ch, cw),
+            cfg["crop"],
             y0s,
             x0s,
             flips,
@@ -207,7 +288,7 @@ class DataLoader:
         items = [f.result() for f in futures]
         images = np.stack([it[0] for it in items])  # (B, 2, H, W, 3) uint8
         flows = np.stack([it[1] for it in items])  # (B, H, W, 2) f32
-        if self.normalize:
+        if self.normalize is True:  # 'device' keeps uint8 (on-chip /255)
             images = images.astype(np.float32) / 255.0
         return images, flows
 
@@ -217,8 +298,16 @@ class DataLoader:
         # how much of any previous epoch ran
         epoch = self.epoch
         skip, self.start_batch = self.start_batch, 0
+        if self._cache is not None:
+            yield from self._iter_prefetched(
+                self._cache_assemble, epoch, skip
+            )
+            self.epoch += 1
+            return
         if self._native is not None:
-            yield from self._iter_native(epoch, skip)
+            yield from self._iter_prefetched(
+                self._native_assemble, epoch, skip
+            )
             self.epoch += 1
             return
 
@@ -244,9 +333,10 @@ class DataLoader:
                 yield self._assemble(futures)
         self.epoch += 1
 
-    def _iter_native(self, epoch: int, skip: int = 0):
-        """C++ fast path: one thread assembles batch k+1 while batch k is
-        consumed (the C++ core itself fans decoding out over threads)."""
+    def _iter_prefetched(self, assemble, epoch: int, skip: int = 0):
+        """Fast-path iteration (native decode or raw cache): one thread
+        assembles batch k+1 while batch k is consumed (the C++ core
+        itself fans the per-sample work out over threads)."""
         with ThreadPoolExecutor(max_workers=1) as pool:
             pending = collections.deque()
             batches = self._batch_indices(skip)
@@ -254,14 +344,12 @@ class DataLoader:
                 idxs = next(batches, None)
                 if idxs is None:
                     break
-                pending.append(pool.submit(self._native_assemble, idxs, epoch))
+                pending.append(pool.submit(assemble, idxs, epoch))
             while pending:
                 fut = pending.popleft()
                 idxs = next(batches, None)
                 if idxs is not None:
-                    pending.append(
-                        pool.submit(self._native_assemble, idxs, epoch)
-                    )
+                    pending.append(pool.submit(assemble, idxs, epoch))
                 yield fut.result()
 
 
@@ -269,6 +357,7 @@ def device_prefetch(
     iterator: Iterable,
     size: int = 2,
     sharding: Optional[object] = None,
+    device_normalize: bool = True,
 ) -> Iterator:
     """Keep ``size`` batches resident on device ahead of consumption.
 
@@ -278,20 +367,33 @@ def device_prefetch(
     PCIe once, no host-side gather). ``sharding`` may be a single
     NamedSharding for every leaf, or a pytree matching the batch
     structure (e.g. distinct image/flow shardings for H-spatial runs).
+
+    ``device_normalize``: uint8 leaves (the DataLoader's
+    ``normalize='device'`` feed) are divided by 255 into float32 ON
+    DEVICE after the transfer — the u8 bytes ride PCIe (4x smaller) and
+    the cast+scale runs as one fused VPU op overlapped with compute.
     """
     import jax
+    import jax.numpy as jnp
 
     from pwcnet_tpu.parallel.mesh import put_global
 
+    def _norm(x):
+        if device_normalize and x.dtype == jnp.uint8:
+            return x.astype(jnp.float32) / np.float32(255.0)
+        return x
+
     def _put(batch):
         if sharding is None:
-            return jax.tree_util.tree_map(jax.device_put, batch)
-        if isinstance(sharding, (tuple, list)):
+            put = jax.tree_util.tree_map(jax.device_put, batch)
+        elif isinstance(sharding, (tuple, list)):
             # per-leaf shardings; multi-process aware (put_global)
-            return jax.tree_util.tree_map(put_global, batch, tuple(sharding))
-        return jax.tree_util.tree_map(
-            lambda x: put_global(x, sharding), batch
-        )
+            put = jax.tree_util.tree_map(put_global, batch, tuple(sharding))
+        else:
+            put = jax.tree_util.tree_map(
+                lambda x: put_global(x, sharding), batch
+            )
+        return jax.tree_util.tree_map(_norm, put)
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _SENTINEL = object()

@@ -41,8 +41,34 @@ def create_train_state(
     learning_rate: float = 1e-4,
     lr_scheduling: bool = True,
 ) -> TrainState:
+    # Initialize on a PLAIN twin of the model: the kernel/sharding
+    # overrides (cost_volume_fn, warp_cv_fn, pyramid_level_fn,
+    # spatial_guard_fn, fused_* levels) carry no parameters and produce a
+    # bit-identical init tree (same module paths, names, initializers —
+    # verified in tests), so eager `init` never dispatches the fused
+    # Pallas / shard_map paths. Besides being pointless work at init,
+    # those eager dispatches compile each shard_mapped interpret-mode
+    # kernel as its own tiny XLA module, whose 81-tap
+    # dynamic-update-slice chain drives XLA:CPU's algebraic simplifier
+    # into its 50-run circular-loop guard (the MULTICHIP_r04 tail
+    # errors — diagnosed with scripts/bisect_algsimp.py; the train-step
+    # module itself never triggered it). Same trick as
+    # FlowPredictor._init_params.
+    import dataclasses
+
+    init_model = model
+    if hasattr(model, "cost_volume_fn"):  # PWCDCNet (not legacy PWCNet)
+        init_model = dataclasses.replace(
+            model,
+            cost_volume_fn=None,
+            warp_cv_fn=None,
+            pyramid_level_fn=None,
+            spatial_guard_fn=None,
+            fused_pyramid_levels=0,
+            fused_estimator_levels=0,
+        )
     images = jnp.zeros(input_shape, model.dtype)
-    variables = model.init(rng, images, images)
+    variables = init_model.init(rng, images, images)
     tx = optax.adam(
         make_lr(learning_rate, lr_scheduling), b1=0.9, b2=0.999, eps=1e-8
     )

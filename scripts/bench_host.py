@@ -52,7 +52,8 @@ def make_sintel(root: Path, n_pairs: int, hw, fmt: str = "png"):
             save_flow(flo_dir / f"frame_{i + 1:04d}.flo", flow)
 
 
-def bench(loader, epochs: int, label: str, batch: int):
+def bench(loader, epochs: int, label: str, batch: int,
+          image_dtype=np.float32):
     # warm epoch (thread pools, page cache)
     n = 0
     for _ in loader:
@@ -64,7 +65,7 @@ def bench(loader, epochs: int, label: str, batch: int):
     for _ in range(epochs):
         start = time.perf_counter()
         for images, flows in loader:
-            assert images.dtype == np.float32
+            assert images.dtype == image_dtype
         best = max(best, n * batch / (time.perf_counter() - start))
     print(
         json.dumps(
@@ -89,8 +90,11 @@ def main():
     ap.add_argument("--crop", type=int, nargs=2, default=[384, 448])
     ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--fmt", choices=["png", "ppm"], default="png")
-    ap.add_argument("--paths", choices=["both", "native", "pil"],
-                    default="both")
+    ap.add_argument("--paths", choices=["all", "both", "native", "pil",
+                                        "cache"],
+                    default="all",
+                    help="'both' = native+pil (pre-round-5 behavior); "
+                    "'all' adds the pre-decoded raw-cache path")
     args = ap.parse_args()
 
     from pwcnet_tpu.data import DataLoader
@@ -116,41 +120,86 @@ def main():
         )
         size = f"{args.height}x{args.width}->{args.crop[0]}x{args.crop[1]}"
         results = {}
-        if args.paths in ("both", "native"):
+        if args.paths in ("all", "cache"):
+            # one-time transcode (reported, not part of the steady-state
+            # number), then batches assemble straight from the memmaps
+            from pwcnet_tpu.data.cache import build_cache
+
+            t0 = time.perf_counter()
+            build_cache(ds)
+            print(
+                json.dumps(
+                    {
+                        "metric": "one-time transcode",
+                        "value": round(time.perf_counter() - t0, 2),
+                        "unit": "sec",
+                    }
+                ),
+                flush=True,
+            )
+            cached = DataLoader(
+                ds,
+                batch_size=args.batch,
+                shuffle=True,
+                num_workers=args.workers,
+                use_cache=True,
+            )
+            results["cache"] = bench(
+                cached, args.epochs,
+                f"Sintel raw-cache {size} native C++", args.batch,
+            )
+            # device-normalize feed: images stay uint8 on the host (the
+            # /255 runs on-chip via device_prefetch) — 4x fewer host
+            # image bytes, the recommended TPU feed
+            cached_u8 = DataLoader(
+                ds,
+                batch_size=args.batch,
+                shuffle=True,
+                num_workers=args.workers,
+                use_cache=True,
+                normalize="device",
+            )
+            results["cache_u8"] = bench(
+                cached_u8, args.epochs,
+                f"Sintel raw-cache {size} u8 device-normalize feed",
+                args.batch, image_dtype=np.uint8,
+            )
+        if args.paths in ("all", "both", "native"):
             fast = DataLoader(
                 ds,
                 batch_size=args.batch,
                 shuffle=True,
                 num_workers=args.workers,
                 use_native=True,
+                use_cache=False,  # measure decode, not the cache built above
             )
             results["native"] = bench(
                 fast, args.epochs, f"Sintel PNG {size} native C++",
                 args.batch,
             )
-        if args.paths in ("both", "pil"):
+        if args.paths in ("all", "both", "pil"):
             slow = DataLoader(
                 ds,
                 batch_size=args.batch,
                 shuffle=True,
                 num_workers=args.workers,
                 use_native=False,
+                use_cache=False,
             )
             results["pil"] = bench(
                 slow, args.epochs, f"Sintel PNG {size} PIL", args.batch
             )
-        if len(results) == 2:
-            print(
-                json.dumps(
-                    {
-                        "metric": "native/pil speedup",
-                        "value": round(
-                            results["native"] / results["pil"], 2
-                        ),
-                        "unit": "x",
-                    }
+        for a, b in (("native", "pil"), ("cache", "native")):
+            if a in results and b in results:
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"{a}/{b} speedup",
+                            "value": round(results[a] / results[b], 2),
+                            "unit": "x",
+                        }
+                    )
                 )
-            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

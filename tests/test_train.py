@@ -95,6 +95,48 @@ class TestTrainStep:
         assert int(state.step) == 0
         assert np.isfinite(float(metrics["epe"]))
 
+    def test_plain_init_twin_is_bit_identical(self):
+        """create_train_state inits on a plain twin of the model (the
+        kernel/sharding overrides carry no parameters), which avoids
+        eagerly dispatching shard_mapped interpret kernels at init —
+        the source of the XLA:CPU algebraic-simplifier circular-loop
+        errors in the r4 multichip dryrun (scripts/bisect_algsimp.py).
+        The fix is only sound if the plain twin's init tree is
+        BIT-IDENTICAL to the overridden model's; assert exactly that."""
+        import functools
+
+        import jax
+
+        from pwcnet_tpu.models import PWCDCNet
+        from pwcnet_tpu.ops.pallas import (
+            cost_volume_pallas,
+            pyramid_level_fused,
+        )
+        from pwcnet_tpu.train_lib import create_train_state
+
+        kw = dict(num_levels=3, output_level=1, search_range=2)
+        fused = PWCDCNet(
+            cost_volume_fn=functools.partial(
+                cost_volume_pallas, interpret=True
+            ),
+            pyramid_level_fn=functools.partial(
+                pyramid_level_fused, banded=False, interpret=True
+            ),
+            fused_pyramid_levels=2,
+            fused_estimator_levels=1,
+            **kw,
+        )
+        x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        direct = fused.init(jax.random.PRNGKey(3), x, x)["params"]
+        state = create_train_state(
+            fused, jax.random.PRNGKey(3), (1, 16, 16, 3)
+        )
+        assert jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: bool((a == b).all()), direct, state.params
+            )
+        )
+
 
 class TestShardedTraining:
     @pytest.mark.slow
