@@ -446,3 +446,181 @@ class TestMultiHostSharding:
         ds = SyntheticFlow("train", num_samples=8, image_shape=(16, 16))
         with pytest.raises(ValueError):
             DataLoader(ds, batch_size=2, process_index=2, process_count=2)
+
+
+class TestRawCache:
+    """Pre-decoded raw dataset cache (data/cache.py, VERDICT r4 #2):
+    transcode once, serve batches as pure memory traffic. The cache path
+    must be augmentation-identical to the decode paths, reject stale
+    caches, and support the u8 device-normalize feed."""
+
+    def _ds(self, tmp_path, **kw):
+        _make_sintel(tmp_path)
+        kw.setdefault("crop_type", "random")
+        kw.setdefault("crop_shape", (24, 32))
+        kw.setdefault("random_flip", True)
+        return SintelClean("train", tmp_path, **kw)
+
+    def test_cache_matches_pil_and_native_paths(self, tmp_path):
+        """Same (seed, epoch, sample) -> byte-identical batches on all
+        three loader paths, like the native==PIL gate above."""
+        from pwcnet_tpu.data.cache import build_cache, open_cache
+
+        ds = self._ds(tmp_path)
+        build_cache(ds)
+        assert open_cache(ds) is not None
+        cached = DataLoader(
+            ds, batch_size=3, shuffle=True, seed=5, use_cache=True
+        )
+        pil = DataLoader(
+            ds, batch_size=3, shuffle=True, seed=5,
+            use_cache=False, use_native=False,
+        )
+        n = 0
+        for (ci, cf), (pi, pf) in zip(cached, pil):
+            np.testing.assert_allclose(ci, pi, atol=1e-6)
+            np.testing.assert_allclose(cf, pf, atol=1e-6)
+            n += 1
+        assert n == len(cached) > 0
+
+    def test_u8_device_feed_equivalence(self, tmp_path):
+        """normalize='device' yields uint8 images whose /255 equals the
+        host-normalized f32 batches exactly; flows are identical."""
+        from pwcnet_tpu.data.cache import build_cache
+
+        ds = self._ds(tmp_path)
+        build_cache(ds)
+        f32 = DataLoader(
+            ds, batch_size=3, shuffle=True, seed=9, use_cache=True
+        )
+        u8 = DataLoader(
+            ds, batch_size=3, shuffle=True, seed=9, use_cache=True,
+            normalize="device",
+        )
+        for (fi, ff), (ui, uf) in zip(f32, u8):
+            assert ui.dtype == np.uint8 and fi.dtype == np.float32
+            np.testing.assert_allclose(
+                fi, ui.astype(np.float32) / 255.0, atol=1e-6
+            )
+            np.testing.assert_array_equal(ff, uf)
+
+    def test_device_prefetch_normalizes_u8_on_device(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pwcnet_tpu.data.cache import build_cache
+
+        ds = self._ds(tmp_path)
+        build_cache(ds)
+        u8 = DataLoader(
+            ds, batch_size=3, shuffle=True, seed=9, use_cache=True,
+            normalize="device",
+        )
+        f32 = DataLoader(
+            ds, batch_size=3, shuffle=True, seed=9, use_cache=True
+        )
+        got = list(device_prefetch(iter(u8), size=2))
+        want = list(device_prefetch(iter(f32), size=2))
+        assert len(got) == len(want) > 0
+        for (gi, gf), (wi, wf) in zip(got, want):
+            assert isinstance(gi, jax.Array) and gi.dtype == jnp.float32
+            np.testing.assert_allclose(
+                np.asarray(gi), np.asarray(wi), atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(gf), np.asarray(wf))
+
+    def test_native_assemble_matches_numpy_fallback(self, tmp_path):
+        from pwcnet_tpu.data import native
+        from pwcnet_tpu.data.cache import build_cache, open_cache
+
+        if not native.available():
+            pytest.skip("no native toolchain")
+        ds = self._ds(tmp_path)
+        build_cache(ds)
+        cache = open_cache(ds)
+        y0s = np.array([0, 3, 7])
+        x0s = np.array([0, 5, 11])
+        flips = np.array([0, 1, 3], np.uint8)
+        for dtype in (np.float32, np.uint8):
+            a_img, a_fl = cache.assemble(
+                [0, 1, 2], (24, 32), y0s, x0s, flips, image_dtype=dtype
+            )
+            b_img, b_fl = cache._assemble_numpy(
+                cache.records[[0, 1, 2]], (24, 32), y0s, x0s, flips, dtype
+            )
+            assert a_img.dtype == np.dtype(dtype)
+            np.testing.assert_allclose(a_img, b_img, atol=1e-6)
+            np.testing.assert_array_equal(a_fl, b_fl)
+
+    def test_stale_cache_rejected(self, tmp_path):
+        """A cache built from a different sample list must not be used
+        (silently serving stale data would corrupt training)."""
+        import shutil
+
+        from pwcnet_tpu.data.cache import build_cache, open_cache
+
+        ds = self._ds(tmp_path)
+        build_cache(ds)
+        shutil.rmtree(tmp_path / "training" / "clean" / "alley_2")
+        shutil.rmtree(tmp_path / "training" / "flow" / "alley_2")
+        ds2 = SintelClean(
+            "train", tmp_path, crop_type="random", crop_shape=(24, 32)
+        )
+        assert open_cache(ds2) is None
+        # auto mode falls back to decoding; explicit use_cache=True raises
+        loader = DataLoader(ds2, batch_size=2, use_cache="auto")
+        assert loader._cache is None
+        with pytest.raises(ValueError, match="no valid cache"):
+            DataLoader(ds2, batch_size=2, use_cache=True)
+
+    def test_truncated_cache_file_rejected(self, tmp_path):
+        from pwcnet_tpu.data.cache import build_cache, open_cache
+
+        ds = self._ds(tmp_path)
+        cache_dir = build_cache(ds)
+        frames = cache_dir / "frames.u8"
+        frames.write_bytes(frames.read_bytes()[:-16])
+        assert open_cache(ds) is None
+
+    def test_build_is_idempotent(self, tmp_path):
+        from pwcnet_tpu.data.cache import build_cache
+
+        ds = self._ds(tmp_path)
+        d1 = build_cache(ds)
+        mtime = (d1 / "index.json").stat().st_mtime_ns
+        d2 = build_cache(ds)
+        assert d1 == d2
+        assert (d2 / "index.json").stat().st_mtime_ns == mtime
+
+    def test_resize_dataset_not_cacheable(self, tmp_path):
+        from pwcnet_tpu.data.cache import build_cache
+
+        ds = self._ds(tmp_path, resize_shape=(18, 24), crop_shape=(12, 16))
+        with pytest.raises(ValueError, match="not cacheable"):
+            build_cache(ds)
+
+    def test_preemption_resume_stream_identical_on_cache_path(
+        self, tmp_path
+    ):
+        """The cache path consumes the same per-(seed, epoch, sample)
+        augmentation streams, so a mid-epoch resume reproduces the
+        remaining batches exactly (the sample-exact preemption contract,
+        PARITY §5)."""
+        from pwcnet_tpu.data.cache import build_cache
+
+        ds = self._ds(tmp_path)
+        build_cache(ds)
+
+        def mk():
+            return DataLoader(
+                ds, batch_size=2, shuffle=True, seed=11, use_cache=True
+            )
+
+        full = list(mk())
+        resumed = mk()
+        resumed.start_batch = 1
+        tail = list(resumed)
+        assert len(tail) == len(full) - 1
+        for (fi, ff), (ti, tf) in zip(full[1:], tail):
+            np.testing.assert_array_equal(fi, ti)
+            np.testing.assert_array_equal(ff, tf)
