@@ -92,6 +92,8 @@ def _build_model(args, dtype):
         dtype=dtype,
         cost_volume_fn=cv_fn,
         warp_cv_fn=warp_cv_fn,
+        mm_resize=bool(getattr(args, "mm_resize", 1))
+        and jax.devices()[0].platform != "cpu",
         pyramid_level_fn=plevel_fn,
         remat=bool(getattr(args, "remat", False)),
         fused_pyramid_levels=(
@@ -236,6 +238,10 @@ def main():
                         help="Compute the N finest pyramid levels with "
                         "the fused Pallas conv kernels (fwd + the "
                         "gz-chain backward)")
+    parser.add_argument("--mm-resize", dest="mm_resize", type=int,
+                        default=1, choices=[0, 1],
+                        help="matmul-formulated inter-level/final resize "
+                        "(TPU serving default; 0 = phase-interleave path)")
     parser.add_argument("--fused-estimator", type=int, default=0,
                         help="Compute the N finest estimator levels with "
                         "the fused Pallas 6-conv chain kernel [0: off — "

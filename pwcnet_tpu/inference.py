@@ -55,6 +55,7 @@ class FlowPredictor:
         use_fused: str | bool = "auto",
         fused_pyramid: str | int = "auto",
         fused_estimator: str | int = "auto",
+        mm_resize: str | bool = "auto",
         size_handling: str = "crop",
         spatial: int = 1,
         data: int = 1,
@@ -134,6 +135,10 @@ class FlowPredictor:
             # 437 -> 411 pairs/s) — the estimator's wide-C convs already
             # fill the MXU; see docs/DESIGN.md round-3 negative result.
             fused_estimator = 0
+        if mm_resize == "auto":
+            # matmul-formulated resize: measured e2e win on TPU (PARITY
+            # §6); keep the take/phase path on CPU where there's no MXU
+            mm_resize = bool(use_pallas)
         self.model = PWCDCNet(
             num_levels=num_levels,
             search_range=search_range,
@@ -141,6 +146,7 @@ class FlowPredictor:
             use_dc=use_dc,
             output_level=output_level,
             dtype=dtype,
+            mm_resize=bool(mm_resize),
             cost_volume_fn=cv_fn,
             warp_cv_fn=warp_cv_fn,
             pyramid_level_fn=plevel_fn,

@@ -41,7 +41,12 @@ from pwcnet_tpu.models.pyramid import (
     FeaturePyramidExtractorLegacy,
 )
 from pwcnet_tpu.ops.cost_volume import cost_volume
-from pwcnet_tpu.ops.resize import resize_bilinear, upsample2x_bilinear
+from pwcnet_tpu.ops.resize import (
+    resize_bilinear,
+    resize_bilinear_mm,
+    upsample2x_bilinear,
+    upsample2x_bilinear_mm,
+)
 from pwcnet_tpu.ops.warp import warp
 
 
@@ -79,6 +84,13 @@ class PWCDCNet(nn.Module):
     # override for the fused level chain (e.g. the shard_map spatial
     # wrapper, parallel.make_spatial_pyramid_level)
     pyramid_level_fn: Any = None
+    # matmul-formulated inter-level/final resize (ops.resize_bilinear_mm):
+    # same TF1 semantics, but contracts the interpolation as einsums so
+    # XLA keeps the surrounding graph in MXU-friendly layouts instead of
+    # the phase-interleave's lane-hostile 5-D reshapes. Serving-path
+    # default (FlowPredictor/bench); off by default to keep the f32
+    # golden-parity path byte-stable.
+    mm_resize: bool = False
     # spatial-sharding guard (parallel.make_spatial_guard): constrains
     # too-small pyramid levels to be spatially UNSHARDED. Required for
     # correct gradients on (data x spatial) meshes: XLA's SPMD
@@ -155,6 +167,8 @@ class PWCDCNet(nn.Module):
           (deep -> output level).
         """
         cv_fn = self.cost_volume_fn or cost_volume
+        up2 = upsample2x_bilinear_mm if self.mm_resize else upsample2x_bilinear
+        resize = resize_bilinear_mm if self.mm_resize else resize_bilinear
         guard = self.spatial_guard_fn or (lambda x, min_rows=4: x)
         pyramid_0 = self.fp_extractor(images_0)
         pyramid_1 = self.fp_extractor(images_1)
@@ -184,8 +198,8 @@ class PWCDCNet(nn.Module):
                 guard(cv), f0, flows_up, features_up
             )
             if l < self.output_level:
-                flows_up = upsample2x_bilinear(flows)
-                features_up = upsample2x_bilinear(features)
+                flows_up = up2(flows)
+                features_up = up2(features)
                 flows_pyramid.append(flows)
             else:
                 flows = self.context_net(flows, features)
@@ -193,7 +207,7 @@ class PWCDCNet(nn.Module):
                 upscale = 2 ** (self.num_levels - self.output_level)
                 h, w = flows.shape[1], flows.shape[2]
                 flows_final = (
-                    resize_bilinear(flows, (h * upscale, w * upscale)) * 20.0
+                    resize(flows, (h * upscale, w * upscale)) * 20.0
                 )
                 if with_features:
                     return flows_final, flows_pyramid, pyramid_0

@@ -339,7 +339,7 @@ def _pick_tile_banded(shape, c, itemsize, requested=None):
     wl = _round_up(wh + 2, 128)
 
     def fits(t):
-        xw = 3 * cin_p * (t + 4) * wl * itemsize
+        xw = 2 * cin_p * (t + 5) * wl * itemsize
         s1 = 3 * c * (t + 6) * wl * itemsize
         s2 = 3 * c * (t + 4) * wl * itemsize
         out_t = c * t * wl * itemsize
@@ -378,7 +378,8 @@ def _band_mask(r0, n_rows, off, hh, wh, wl):
 
 def _plevel_kernel_banded(
     x_any,
-    k1_ref,
+    k1a_ref,
+    k1b_ref,
     k2_ref,
     k3_ref,
     bias_ref,
@@ -409,11 +410,19 @@ def _plevel_kernel_banded(
     the next conv reads a ready-made (3C, rows*WL) stripe — same K=3C
     MXU occupancy as the row-loop kernel, 3 dots per tile total.
 
-    x_any: (B, 3*CINP, (HH+5)*WL) HBM — W-space-to-depth input further
-        H-space-to-depth'd into 3 row-phase planes (plane s row p =
-        padded full-res row 2p+s), so the stride-2 conv1 contracts all
-        9 taps in ONE dot with K = 3*CINP. Each grid step DMAs its
-        (3*CINP, (TH+4)*WL) lane window.
+    x_any: (B, 2*CINP, (HH+5)*WL) HBM — W-space-to-depth input further
+        H-space-to-depth'd into the 2 DISTINCT row-phase planes (even
+        plane row p = padded full-res row 2p, odd = 2p+1; the third dy
+        tap, padded row 2p+2, is just the even plane shifted one row
+        block, so materializing it as a third plane — as this kernel
+        originally did — duplicates the frame 1.5x in HBM for nothing).
+        conv1 contracts the dy=0,1 taps in one dot with K = 2*CINP
+        (k1a) and the dy=2 tap in a second dot with K = CINP (k1b)
+        whose RHS is the even channels of the SAME VMEM window at a
+        one-row-block lane offset. Each grid step DMAs its
+        (2*CINP, (TH+5)*WL) lane window — 2/3 the bytes of the 3-plane
+        layout, and the XLA-side prep drops the 3x gather/concat
+        (measured ~1 ms of copy fusions at 448x1024 b8 bf16).
     Band masks — row validity (vertical SAME zero padding) times lane
     margins (data in lanes 1..wh) — are rebuilt in-kernel per tile
     (`_band_mask`) and applied by one multiply.
@@ -431,7 +440,7 @@ def _plevel_kernel_banded(
     n3 = th * wl
 
     dma = pltpu.make_async_copy(
-        x_any.at[pl.ds(bi, 1), :, pl.ds(r0 * wl, n1)], xw_ref, sem
+        x_any.at[pl.ds(bi, 1), :, pl.ds(r0 * wl, n1 + wl)], xw_ref, sem
     )
     dma.start()
     dma.wait()
@@ -455,8 +464,17 @@ def _plevel_kernel_banded(
     m1 = _band_mask(r0, th + 4, 2, hh, wh, wl)
     m2 = _band_mask(r0, th + 2, 1, hh, wh, wl)
 
-    # ---- conv1: all th+4 output rows in one dot (K = 3*CINP)
-    p = jax.lax.dot(k1_ref[...], xw_ref[0], preferred_element_type=f32)
+    # ---- conv1: all th+4 output rows in two dots (K = 2*CINP + CINP);
+    # the dy=2 tap reads the even plane one row-block ahead — a static
+    # lane slice of the window already in VMEM, not a third HBM plane
+    cin_p = k1b_ref.shape[1]
+    p = jax.lax.dot(
+        k1a_ref[...], xw_ref[0, :, :n1], preferred_element_type=f32
+    )
+    p += jax.lax.dot(
+        k1b_ref[...], xw_ref[0, :cin_p, wl : wl + n1],
+        preferred_element_type=f32,
+    )
     y = p[:c] + lroll(p[c:], 1)
     y = _leaky(y + bias_ref[0, :].astype(f32)[:, None]) * m1
     y = y.astype(s1_ref.dtype)
@@ -493,11 +511,11 @@ def _plevel_kernel_banded(
 
 
 def _plevel_kernel_banded_infer(
-    x_any, k1_ref, k2_ref, k3_ref, bias_ref, out_ref,
+    x_any, k1a_ref, k1b_ref, k2_ref, k3_ref, bias_ref, out_ref,
     xw_ref, s1_ref, s2_ref, sem, **kw,
 ):
     _plevel_kernel_banded(
-        x_any, k1_ref, k2_ref, k3_ref, bias_ref, out_ref,
+        x_any, k1a_ref, k1b_ref, k2_ref, k3_ref, bias_ref, out_ref,
         None, None, xw_ref, s1_ref, s2_ref, sem, **kw,
     )
 
@@ -514,20 +532,29 @@ def _plevel_forward_banded(
     wl = _round_up(wh + 2, 128)
     nt = hh // th
 
-    # W-s2d, channel-major, then H-s2d into 3 row-phase planes so conv1
-    # output row g (reading padded full-res rows 2g+4..2g+6, top pad 4)
-    # is plane s index p = g+2: plane_s[p] = padded row 2p+s.
+    # W-s2d, channel-major, then H-s2d into the 2 DISTINCT row-phase
+    # planes (plane s row p = padded full-res row 2p+s, s in {even,
+    # odd}). conv1 output row g reads padded rows 2g+4..2g+6 =
+    # even[g+2], odd[g+2], even[g+3] — the third dy tap is the even
+    # plane one row block ahead, resolved as a VMEM lane slice
+    # in-kernel, so the gather/concat writes 2 planes, not 3 (a 5-D
+    # reshape/transpose formulation that avoids the gather entirely was
+    # A/B'd and is WORSE: XLA's layout assignment reacts with ~3.5 ms
+    # of full-res layout copies on the images and the level boundary —
+    # 540 -> 421 pairs/s e2e; keep this transpose+pad+strided-slice
+    # structure, which layout assignment handles cleanly).
     xs = x.reshape(b, h, wh, 2 * cin)
     xs = jnp.transpose(xs, (0, 3, 1, 2))  # (B, 2Cin, H, WH)
     xs = jnp.pad(
         xs, ((0, 0), (0, cin_p - 2 * cin), (4, 8), (1, wl - wh - 1))
     )
     npl = hh + 5
-    planes = [xs[:, :, s : s + 2 * npl : 2, :] for s in range(3)]
-    x3 = jnp.concatenate(planes, axis=1)  # (B, 3*CINP, HH+5, WL)
-    x3 = x3.reshape(b, 3 * cin_p, npl * wl)
+    planes = [xs[:, :, s : s + 2 * npl : 2, :] for s in range(2)]
+    x2 = jnp.concatenate(planes, axis=1)  # (B, 2*CINP, HH+5, WL)
+    x2 = x2.reshape(b, 2 * cin_p, npl * wl)
 
     k1m = _split_kernel(_remap_k1(k1), cin_p)  # (2C, 3*CINP)
+    k1a, k1b = k1m[:, : 2 * cin_p], k1m[:, 2 * cin_p :]
     k2m = _split_kernel(k2, c)  # (3C, 3C)
     k3m = _split_kernel(k3, c)
     bias = jnp.stack([b1, b2, b3]).astype(jnp.float32)  # (3, C)
@@ -551,7 +578,10 @@ def _plevel_forward_banded(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                k1m.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+                k1a.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                k1b.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 k2m.shape, lambda bi, i: (0, 0), memory_space=pltpu.VMEM
@@ -566,13 +596,13 @@ def _plevel_forward_banded(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((1, 3 * cin_p, (th + 4) * wl), x.dtype),
+            pltpu.VMEM((1, 2 * cin_p, (th + 5) * wl), x.dtype),
             pltpu.VMEM((3 * c, (th + 6) * wl), x.dtype),
             pltpu.VMEM((3 * c, (th + 4) * wl), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x3, k1m, k2m, k3m, bias)
+    )(x2, k1a, k1b, k2m, k3m, bias)
     out = res[0].reshape(b, c, hh, wl)[:, :, :, 1 : wh + 1]
     out = jnp.transpose(out, (0, 2, 3, 1))  # NHWC
     if save_acts:

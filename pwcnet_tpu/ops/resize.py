@@ -36,7 +36,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-__all__ = ["resize_bilinear", "resize_nearest", "upsample2x_bilinear"]
+__all__ = [
+    "resize_bilinear",
+    "resize_bilinear_mm",
+    "resize_nearest",
+    "upsample2x_bilinear",
+    "upsample2x_bilinear_mm",
+]
 
 
 def _upsample_axis_int(x: jnp.ndarray, f: int, axis: int) -> jnp.ndarray:
@@ -106,6 +112,59 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     t = tl + (tr - tl) * wx
     b = bl + (br - bl) * wx
     return t + (b - t) * wy
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense (out_size, in_size) TF1-bilinear interpolation matrix.
+
+    Row ``o`` holds ``1-lerp`` at ``low[o]`` and ``lerp`` at ``high[o]``
+    from :func:`_bilinear_table` — the same tables as the take-based
+    path, expressed as a matmul operand.
+    """
+    lo, hi, lerp = _bilinear_table(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] += 1.0 - lerp
+    m[np.arange(out_size), hi] += lerp
+    return m
+
+
+def resize_bilinear_mm(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Matmul-formulated TF1 bilinear resize (same semantics as
+    :func:`resize_bilinear`).
+
+    Contracts the H then W axes against dense per-axis interpolation
+    matrices (two einsums). The interpolation matrices are 2-banded so
+    this does ~``in+out`` MACs per output element where the lerp path
+    does ~2 — but on TPU the MXU makes those MACs free relative to the
+    layout copies the phase-interleave/take formulations induce inside
+    a larger fused graph (measured +2-3% end-to-end on the serving
+    model at 448x1024; see PARITY.md §6). Accumulation is f32 with
+    HIGHEST precision for f32 inputs, so it stays within a few ULP of
+    the lerp path; for bf16 inputs the error is bf16-rounding-sized.
+    Used on the serving path via ``PWCDCNet(mm_resize=True)``.
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    in_h, in_w = x.shape[-3], x.shape[-2]
+    if (out_h, out_w) == (in_h, in_w):
+        return x
+    prec = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    my = jnp.asarray(_interp_matrix(in_h, out_h), x.dtype)
+    mx = jnp.asarray(_interp_matrix(in_w, out_w), x.dtype)
+    y = jnp.einsum(
+        "oh,...hwc->...owc", my, x,
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(x.dtype)
+    y = jnp.einsum(
+        "pw,...owc->...opc", mx, y,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    return y.astype(x.dtype)
+
+
+def upsample2x_bilinear_mm(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsampling via the matmul formulation."""
+    return resize_bilinear_mm(x, (2 * x.shape[-3], 2 * x.shape[-2]))
 
 
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:

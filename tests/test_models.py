@@ -221,6 +221,29 @@ class TestModelVariants:
         assert flows_final.shape == (1, 16, 16, 2)
         assert np.all(np.isfinite(np.asarray(flows_final)))
 
+    def test_mm_resize_matches_default(self, rng):
+        """mm_resize=True (serving path) == phase/take resize in f32.
+
+        Same params, same inputs; the matmul-formulated resize must stay
+        within a few ULP of the default path end-to-end so the serving
+        config keeps the golden-parity numerics.
+        """
+        kw = dict(num_levels=3, output_level=1, search_range=2)
+        base = PWCDCNet(**kw)
+        mm = PWCDCNet(mm_resize=True, **kw)
+        imgs0 = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        imgs1 = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        variables = base.init(jax.random.PRNGKey(0), imgs0, imgs1)
+        want, want_pyr = base.apply(variables, imgs0, imgs1)
+        got, got_pyr = mm.apply(variables, imgs0, imgs1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+        )
+        for g, w in zip(got_pyr, want_pyr):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+            )
+
     @pytest.mark.slow
     def test_use_dc_variant_forward(self, rng):
         model = PWCDCNet(

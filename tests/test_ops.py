@@ -44,6 +44,33 @@ class TestResizeBilinear:
         want = oracles.tf1_resize_bilinear(x[None], 10, 14)[0]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize(
+        "in_hw,out_hw",
+        [
+            ((4, 6), (8, 12)),  # 2x upsample (inter-level path)
+            ((7, 5), (14, 10)),
+            ((8, 8), (32, 32)),  # 4x final upsample
+            ((9, 13), (4, 6)),  # downsample
+            ((5, 5), (7, 11)),  # non-integer ratio
+        ],
+    )
+    def test_mm_matches_tf1_oracle(self, rng, in_hw, out_hw):
+        """The matmul formulation implements the same TF1 semantics."""
+        x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+        got = np.asarray(ops.resize_bilinear_mm(jnp.asarray(x), out_hw))
+        want = oracles.tf1_resize_bilinear(x, *out_hw)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_mm_upsample2x_and_rank3(self, rng):
+        x = rng.standard_normal((1, 3, 5, 2)).astype(np.float32)
+        got = np.asarray(ops.upsample2x_bilinear_mm(jnp.asarray(x)))
+        want = oracles.tf1_resize_bilinear(x, 6, 10)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        x3 = rng.standard_normal((5, 7, 2)).astype(np.float32)
+        got3 = np.asarray(ops.resize_bilinear_mm(jnp.asarray(x3), (10, 14)))
+        want3 = oracles.tf1_resize_bilinear(x3[None], 10, 14)[0]
+        np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-5)
+
 
 class TestResizeNearest:
     @pytest.mark.parametrize(
