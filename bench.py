@@ -94,6 +94,7 @@ def _build_model(args, dtype):
         warp_cv_fn=warp_cv_fn,
         mm_resize=bool(getattr(args, "mm_resize", 1))
         and jax.devices()[0].platform != "cpu",
+        batched_pyramid=bool(getattr(args, "batched_pyramid", 0)),
         pyramid_level_fn=plevel_fn,
         remat=bool(getattr(args, "remat", False)),
         fused_pyramid_levels=(
@@ -162,10 +163,19 @@ def bench_infer(args, h: int, w: int, pad_to: int | None = None) -> None:
     images_1 = jnp.asarray(rng.random((b, h, w, 3)), dtype)
     if pad_to is not None:
         pad = ((0, 0), (0, pad_to - h), (0, 0), (0, 0))
+        barrier = (
+            (lambda x: jax.lax.optimization_barrier(x))
+            if getattr(args, "pad_barrier", 1)
+            else (lambda x: x)
+        )
 
         def fwd(variables, x0, x1):
-            x0 = jnp.pad(x0, pad, mode="edge")
-            x1 = jnp.pad(x1, pad, mode="edge")
+            # materialize the padded frames (optimization_barrier):
+            # without it XLA fuses the edge-pad into every consumer of
+            # the frame inside the pyramid prep, and the whole anchor
+            # graph runs ~27% slower (round-5 A/B, PARITY §6)
+            x0 = barrier(jnp.pad(x0, pad, mode="edge"))
+            x1 = barrier(jnp.pad(x1, pad, mode="edge"))
             return model.apply(variables, x0, x1)[0][:, :h]
 
     else:
@@ -242,6 +252,20 @@ def main():
                         default=1, choices=[0, 1],
                         help="matmul-formulated inter-level/final resize "
                         "(TPU serving default; 0 = phase-interleave path)")
+    parser.add_argument("--batched-pyramid", dest="batched_pyramid",
+                        type=int, default=0, choices=[0, 1],
+                        help="run the feature pyramid over both frames as "
+                        "one 2B-batch call [0 — measured LOSS at the "
+                        "serving shapes with the fused pyramid kernels: "
+                        "b8 569 -> 513 pairs/s (2-plane prep + kernel "
+                        "grid at 2B); neutral with --fused-pyramid 0]")
+    parser.add_argument("--pad-to", type=int, default=None,
+                        help="edge-pad H to this inside the measured "
+                        "graph (anchor-style A/B at any --height)")
+    parser.add_argument("--pad-barrier", dest="pad_barrier", type=int,
+                        default=1, choices=[0, 1],
+                        help="materialize padded frames before the model "
+                        "(optimization_barrier) in pad mode [1]")
     parser.add_argument("--fused-estimator", type=int, default=0,
                         help="Compute the N finest estimator levels with "
                         "the fused Pallas 6-conv chain kernel [0: off — "
@@ -299,10 +323,17 @@ def main():
             args.batch = 8
             run(bench_train, args.height or 384, args.width or 448)
     if do_infer:
+        import functools
+
+        infer_fn = (
+            functools.partial(bench_infer, pad_to=args.pad_to)
+            if args.pad_to
+            else bench_infer
+        )
         args.batch = user_batch or 4
         # b4 = cross-round comparability shape AND the measured round-4
         # serving knee (PARITY §6 batch scaling)
-        run(bench_infer, args.height or 448, args.width or 1024)
+        run(infer_fn, args.height or 448, args.width or 1024)
         if user_batch is None:
             # past-knee check: b8 sat the knee in rounds 2-3; keep the
             # datapoint so the scaling story stays measured every round

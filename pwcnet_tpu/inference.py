@@ -56,6 +56,7 @@ class FlowPredictor:
         fused_pyramid: str | int = "auto",
         fused_estimator: str | int = "auto",
         mm_resize: str | bool = "auto",
+        batched_pyramid: str | bool = "auto",
         size_handling: str = "crop",
         spatial: int = 1,
         data: int = 1,
@@ -139,6 +140,15 @@ class FlowPredictor:
             # matmul-formulated resize: measured e2e win on TPU (PARITY
             # §6); keep the take/phase path on CPU where there's no MXU
             mm_resize = bool(use_pallas)
+        if batched_pyramid == "auto":
+            # both frames through the extractor as one 2B-batch call:
+            # identical per-sample math and half the pyramid dispatches,
+            # but measured SLOWER with the fused pyramid kernels at the
+            # serving shapes (448x1024 b8 bf16: 569 -> 513 pairs/s — the
+            # 2-plane kernel prep + grid lose more at 2B than the saved
+            # dispatches buy; neutral with the XLA pyramid, 429 vs 425).
+            # Kept as an opt-in A/B; see docs/DESIGN.md round 5.
+            batched_pyramid = False
         self.model = PWCDCNet(
             num_levels=num_levels,
             search_range=search_range,
@@ -147,6 +157,7 @@ class FlowPredictor:
             output_level=output_level,
             dtype=dtype,
             mm_resize=bool(mm_resize),
+            batched_pyramid=bool(batched_pyramid),
             cost_volume_fn=cv_fn,
             warp_cv_fn=warp_cv_fn,
             pyramid_level_fn=plevel_fn,

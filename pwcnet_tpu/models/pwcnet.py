@@ -97,6 +97,13 @@ class PWCDCNet(nn.Module):
     # partitioner miscompiles the input-gradient of 3x3 convs on 2x2
     # feature maps H-sharded at 1 row/shard (see parallel/spatial.py).
     spatial_guard_fn: Any = None
+    # run the feature pyramid over BOTH frames as one 2B-batch extractor
+    # call (the weights are shared anyway) and split each level: per-sample
+    # math is identical and the per-level dispatches halve, but it is a
+    # measured LOSS with the fused Pallas pyramid kernels at the serving
+    # shapes (448x1024 b8 bf16: 569 -> 513 pairs/s) and neutral with the
+    # XLA pyramid — opt-in A/B, off by default (docs/DESIGN.md round 5).
+    batched_pyramid: bool = False
 
     def setup(self):
         assert self.output_level < self.num_levels, (
@@ -170,8 +177,16 @@ class PWCDCNet(nn.Module):
         up2 = upsample2x_bilinear_mm if self.mm_resize else upsample2x_bilinear
         resize = resize_bilinear_mm if self.mm_resize else resize_bilinear
         guard = self.spatial_guard_fn or (lambda x, min_rows=4: x)
-        pyramid_0 = self.fp_extractor(images_0)
-        pyramid_1 = self.fp_extractor(images_1)
+        if self.batched_pyramid:
+            b = images_0.shape[0]
+            pyr = self.fp_extractor(
+                jnp.concatenate([images_0, images_1], axis=0)
+            )
+            pyramid_0 = [p[:b] for p in pyr]
+            pyramid_1 = [p[b:] for p in pyr]
+        else:
+            pyramid_0 = self.fp_extractor(images_0)
+            pyramid_1 = self.fp_extractor(images_1)
         scales = self.scales
 
         flows_pyramid = []
@@ -198,8 +213,17 @@ class PWCDCNet(nn.Module):
                 guard(cv), f0, flows_up, features_up
             )
             if l < self.output_level:
-                flows_up = up2(flows)
-                features_up = up2(features)
+                # one 34-channel upsample instead of a 2-channel + a
+                # 32-channel one: bilinear resize is channelwise, so the
+                # values are bit-identical, but the separate 2-channel
+                # flow resize wastes 126/128 of its lane tiles and the
+                # two launches halve into one. The estimator consumes
+                # [..., flows_up, features_up] adjacently in this exact
+                # order (reference modules.py:261-264), so XLA folds the
+                # slices straight back into its input concat.
+                fu = up2(jnp.concatenate([flows, features], axis=3))
+                flows_up = fu[..., :2]
+                features_up = fu[..., 2:]
                 flows_pyramid.append(flows)
             else:
                 flows = self.context_net(flows, features)

@@ -68,6 +68,13 @@ def main():
         help="fused_estimator_levels (0 = XLA estimator chain — the "
         "measured-faster default)",
     )
+    parser.add_argument("--mm-resize", type=int, default=1, choices=[0, 1])
+    parser.add_argument("--batched-pyramid", type=int, default=0,
+                        choices=[0, 1])
+    parser.add_argument("--pad-to", type=int, default=None,
+                        help="paper-anchor mode: edge-pad H to this "
+                        "inside the profiled graph (e.g. 448 with "
+                        "--height 436)")
     args = parser.parse_args()
     if args.infer:
         args.height = args.height or 448
@@ -96,6 +103,8 @@ def main():
         warp_cv_fn=warped_cost_volume,
         fused_pyramid_levels=2,
         fused_estimator_levels=args.fused_estimator,
+        mm_resize=bool(args.mm_resize),
+        batched_pyramid=bool(args.batched_pyramid),
     )
     rng = np.random.default_rng(0)
     b, h, w = args.batch, args.height, args.width
@@ -109,10 +118,20 @@ def main():
     if args.infer:
         params = state.params
 
-        def infer(imgs):
-            return model.apply(
-                {"params": params}, imgs[:, 0], imgs[:, 1]
-            )[0]
+        if args.pad_to is not None:
+            pad = ((0, 0), (0, args.pad_to - h), (0, 0), (0, 0))
+
+            def infer(imgs):
+                x0 = jnp.pad(imgs[:, 0], pad, mode="edge")
+                x1 = jnp.pad(imgs[:, 1], pad, mode="edge")
+                return model.apply({"params": params}, x0, x1)[0][:, :h]
+
+        else:
+
+            def infer(imgs):
+                return model.apply(
+                    {"params": params}, imgs[:, 0], imgs[:, 1]
+                )[0]
 
         rows = op_profile(infer, images, iters=3)
     else:

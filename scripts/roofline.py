@@ -120,6 +120,7 @@ def bench_infer(b, h, w, iters):
         cost_volume_fn=cost_volume_pallas,
         warp_cv_fn=warped_cost_volume,
         fused_pyramid_levels=2,
+        mm_resize=True,  # serving-path default (round 5)
     )
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16

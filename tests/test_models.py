@@ -244,6 +244,32 @@ class TestModelVariants:
                 np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
             )
 
+    def test_batched_pyramid_matches_default(self, rng):
+        """batched_pyramid=True (serving path) == per-frame extraction.
+
+        The 2B-batch extractor call is per-sample identical math (convs
+        are batch-elementwise); the backend may still block its GEMMs
+        differently at 2B vs B (measured few-ULP deltas on CPU), so
+        assert a few-ULP bound rather than bitwise. Also pins the level
+        split ([:b] frame 0, [b:] frame 1) against accidental swaps —
+        a swap produces O(1) flow deltas, not 1e-7.
+        """
+        kw = dict(num_levels=3, output_level=1, search_range=2)
+        base = PWCDCNet(**kw)
+        bp = PWCDCNet(batched_pyramid=True, **kw)
+        imgs0 = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        imgs1 = jnp.asarray(rng.random((2, 16, 16, 3)).astype(np.float32))
+        variables = base.init(jax.random.PRNGKey(0), imgs0, imgs1)
+        want, want_pyr = base.apply(variables, imgs0, imgs1)
+        got, got_pyr = bp.apply(variables, imgs0, imgs1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-6
+        )
+        for g, w in zip(got_pyr, want_pyr):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-4, atol=1e-6
+            )
+
     @pytest.mark.slow
     def test_use_dc_variant_forward(self, rng):
         model = PWCDCNet(
