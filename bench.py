@@ -4,15 +4,16 @@
 With no mode flag this measures the training step (fwd+bwd+Adam at
 384x448, first b4 — the reference's default batch, cross-round
 comparable — then b8, the measured training knee and this framework's
-recommended per-chip batch), inference at 448x1024 b4
-(cross-round comparability; also the measured round-4 serving knee —
-PARITY.md §6 batch-scaling study: b1 381 / b2 487 / b4 538 / b8 530 /
-b16 447 pairs/s, HBM working-set regression past b4), a past-knee b8
-inference check, and finally the paper-anchor-exact shape — 1024x436
-Sintel frames edge-padded to 448x1024 *inside* the measured graph and
-the flow cropped back, at the b4 knee — printing one JSON line each. The LAST line is the headline inference
-metric (the driver parses the final line); its vs_baseline divides by
-the paper's 35 fps at the SAME 1024x436 frame size:
+recommended per-chip batch), inference at 448x1024 b4 (cross-round
+comparability — the reference CLI default and the round-4 knee) and b8
+(the round-5 serving knee — PARITY.md §6 batch-scaling study: b4 548 /
+b8 569 / b16 488 pairs/s, HBM working-set regression past b8), and
+finally the paper-anchor-exact shape — 1024x436 Sintel frames
+edge-padded to 448x1024 *inside* the measured graph and the flow
+cropped back — at b4 (comparability) then b8 (knee), printing one JSON
+line each. The LAST line is the headline inference metric (the driver
+parses the final line); its vs_baseline divides by the paper's 35 fps
+at the SAME 1024x436 frame size:
 
     {"metric": "...", "value": N, "unit": "image_pairs_per_sec_per_chip",
      "vs_baseline": N}
@@ -331,12 +332,14 @@ def main():
             else bench_infer
         )
         args.batch = user_batch or 4
-        # b4 = cross-round comparability shape AND the measured round-4
-        # serving knee (PARITY §6 batch scaling)
+        # b4 = cross-round comparability batch (the reference CLI
+        # default; also the round-4 serving knee)
         run(infer_fn, args.height or 448, args.width or 1024)
         if user_batch is None:
-            # past-knee check: b8 sat the knee in rounds 2-3; keep the
-            # datapoint so the scaling story stays measured every round
+            # b8 = the round-5 serving knee (PARITY §6 batch scaling:
+            # the resize/upsample work scales with batch, moving the
+            # knee back from b4; b16 regresses) — both lines kept so
+            # the scaling story stays measured every round
             args.batch = 8
             run(bench_infer, args.height or 448, args.width or 1024)
         if user_batch is None and not custom_shape:
@@ -349,7 +352,11 @@ def main():
             # lines would silently change the headline's shape.
             import functools
 
+            # b4 kept for cross-round comparability (rounds 4-5 history),
+            # then b8 — the round-5 serving knee — as the final headline.
             args.batch = 4
+            run(functools.partial(bench_infer, pad_to=448), 436, 1024)
+            args.batch = 8
             run(functools.partial(bench_infer, pad_to=448), 436, 1024)
 
 
