@@ -329,6 +329,50 @@ class TestPredictorShapeCache:
         assert len(pyr_small) == 2
 
 
+class TestDeviceNormalize:
+    def test_uint8_transfer_matches_host_normalize(self):
+        """device_normalize=True ships uint8 and divides by 255 in-graph.
+        XLA lowers the division to a reciprocal multiply (<=1 ulp from
+        the host path's IEEE division), so flow/pyramid agree to noise
+        floor — far inside the 0.05 px parity budget — and the returned
+        frames (host-normalized on both paths) are bit-identical."""
+        from pwcnet_tpu.inference import FlowPredictor
+
+        rng = np.random.default_rng(0)
+        img0 = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        img1 = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        kw = dict(num_levels=3, search_range=2, output_level=1,
+                  use_pallas=False)
+        dev = FlowPredictor(device_normalize=True, **kw)
+        host = FlowPredictor(device_normalize=False, **kw)
+        f_dev, pyr_dev, imgs_dev = dev(img0, img1)
+        f_host, pyr_host, imgs_host = host(img0, img1)
+        np.testing.assert_allclose(f_dev, f_host, atol=1e-5, rtol=1e-4)
+        for a, b in zip(pyr_dev, pyr_host):
+            np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4)
+        # API contract: returned frames are normalized f32 on both paths
+        assert imgs_dev.dtype == np.float32
+        np.testing.assert_array_equal(imgs_dev, imgs_host)
+
+    def test_sequence_uint8_path_yields_normalized_frames(self):
+        from pwcnet_tpu.inference import FlowPredictor
+
+        rng = np.random.default_rng(1)
+        frames = [(rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                  for _ in range(3)]
+        kw = dict(num_levels=3, search_range=2, output_level=1,
+                  use_pallas=False)
+        dev = FlowPredictor(device_normalize=True, **kw)
+        host = FlowPredictor(device_normalize=False, **kw)
+        out_dev = list(dev.predict_sequence(frames, batch=2))
+        out_host = list(host.predict_sequence(frames, batch=2))
+        assert len(out_dev) == len(out_host) == 2
+        for (fd, pd, imd), (fh, ph, imh) in zip(out_dev, out_host):
+            np.testing.assert_allclose(fd, fh, atol=1e-5, rtol=1e-4)
+            assert imd.dtype == np.float32
+            np.testing.assert_array_equal(imd, imh)
+
+
 class TestRobustLossCLI:
     @pytest.mark.slow
     def test_train_with_robust_loss(self, tmp_path, monkeypatch):
